@@ -1,0 +1,151 @@
+"""Shared transformer primitives: LayerNorm, MLP, pre-LN blocks.
+
+TPU-first design notes:
+  * Blocks are *stacked*: every block-param leaf carries a leading [depth]
+    axis and the stack is executed with lax.scan — one compiled block body
+    regardless of depth (ViT-H is 32 layers; scan keeps compile time and
+    HLO size flat).
+  * Matmuls run in a configurable compute dtype (bfloat16 by default on
+    TPU) with fp32 accumulation; LayerNorm and softmax stay fp32. This
+    mirrors the reference's autocast-bf16 behavior (reference:
+    app/vjepa/train.py:445-447) without a grad scaler.
+  * Residual wiring matches reference src/models/utils/modules.py:114-120
+    (pre-LN, attn then MLP, plain adds).
+
+Block param schema (leaves get a leading [depth] axis when stacked):
+  ln1: {scale[D], bias[D]}
+  attn: {qkv_w[D,3D], qkv_b[3D], proj_w[D,D], proj_b[D]}
+  ln2: {scale[D], bias[D]}
+  mlp: {fc1_w[D,Hd], fc1_b[Hd], fc2_w[Hd,D], fc2_b[D]}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jepa_tpu.models.initializers import layernorm_init, linear_init, residual_rescale
+from jepa_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockCfg:
+    dim: int
+    num_heads: int
+    mlp_hidden: int
+    ln_eps: float = 1e-6
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+    qk_scale: Optional[float] = None
+
+    def __post_init__(self):
+        if self.dim % self.num_heads != 0:
+            raise ValueError(
+                f"dim ({self.dim}) must be divisible by num_heads ({self.num_heads})"
+            )
+
+
+def layer_norm(x, scale, bias, eps):
+    """fp32 LayerNorm over the last axis; returns in x's original dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def linear(x, p, compute_dtype):
+    y = jnp.dot(
+        x.astype(compute_dtype),
+        p["w"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(compute_dtype)
+
+
+def mlp(x, p, cfg: BlockCfg):
+    h = linear(x, {"w": p["fc1_w"], "b": p["fc1_b"]}, cfg.compute_dtype)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cfg.compute_dtype)
+    return linear(h, {"w": p["fc2_w"], "b": p["fc2_b"]}, cfg.compute_dtype)
+
+
+def self_attention(x, p, cfg: BlockCfg, kv_mask=None):
+    """Fused-QKV multi-head self-attention. x: [B, N, D]."""
+    b, n, d = x.shape
+    h = cfg.num_heads
+    hd = d // h
+    qkv = linear(x, {"w": p["qkv_w"], "b": p["qkv_b"]}, cfg.compute_dtype)
+    qkv = qkv.reshape(b, n, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    out = dot_product_attention(
+        q, k, v, kv_mask=kv_mask, scale=cfg.qk_scale, impl=cfg.attn_impl
+    )
+    out = out.reshape(b, n, d)
+    return linear(out, {"w": p["proj_w"], "b": p["proj_b"]}, cfg.compute_dtype)
+
+
+def block_forward(x, p, cfg: BlockCfg, kv_mask=None):
+    """Pre-LN transformer block: x + attn(ln1 x); x + mlp(ln2 x)."""
+    y = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
+    x = x + self_attention(y, p["attn"], cfg, kv_mask=kv_mask)
+    y = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
+    return x + mlp(y, p["mlp"], cfg)
+
+
+def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, remat=False):
+    """Run a stacked block pytree with lax.scan.
+
+    x: [B, N, D] (cast to compute dtype inside). When ``collect_layers`` is
+    true, also returns the per-layer outputs [depth, B, N, D] (for the
+    reference's ``out_layers`` feature).
+    """
+    x = x.astype(cfg.compute_dtype)
+
+    def body(carry, layer_params):
+        out = block_forward(carry, layer_params, cfg, kv_mask=kv_mask)
+        return out, (out if collect_layers else None)
+
+    if remat:
+        body = jax.checkpoint(body)
+    final, layers = jax.lax.scan(body, x, stacked)
+    return (final, layers) if collect_layers else (final, None)
+
+
+def init_block_stack(key, depth: int, cfg: BlockCfg, init_std: float = 0.02, dtype=jnp.float32):
+    """Initialize ``depth`` blocks as stacked leaves (leading [depth] axis).
+
+    Residual-branch projections (attn.proj, mlp.fc2) of layer i (1-indexed)
+    are divided by sqrt(2*i), matching the reference's _rescale_blocks.
+    """
+    d, hd = cfg.dim, cfg.mlp_hidden
+
+    def one(key, layer_id):
+        ks = jax.random.split(key, 4)
+        return {
+            "ln1": layernorm_init(d, dtype),
+            "attn": {
+                "qkv_w": linear_init(ks[0], d, 3 * d, std=init_std, dtype=dtype)["w"],
+                "qkv_b": jnp.zeros((3 * d,), dtype),
+                "proj_w": linear_init(
+                    ks[1], d, d, std=init_std, rescale=residual_rescale(layer_id), dtype=dtype
+                )["w"],
+                "proj_b": jnp.zeros((d,), dtype),
+            },
+            "ln2": layernorm_init(d, dtype),
+            "mlp": {
+                "fc1_w": linear_init(ks[2], d, hd, std=init_std, dtype=dtype)["w"],
+                "fc1_b": jnp.zeros((hd,), dtype),
+                "fc2_w": linear_init(
+                    ks[3], hd, d, std=init_std, rescale=residual_rescale(layer_id), dtype=dtype
+                )["w"],
+                "fc2_b": jnp.zeros((d,), dtype),
+            },
+        }
+
+    keys = jax.random.split(key, depth)
+    per_layer = [one(keys[i], i + 1) for i in range(depth)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_layer)

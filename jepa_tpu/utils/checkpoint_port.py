@@ -1,0 +1,169 @@
+"""PyTorch .pth.tar checkpoint porter (model-zoo interop).
+
+Maps reference state_dicts onto jepa_tpu pytrees, honoring the reference's
+loading rules (reference: evals/video_classification_frozen/eval.py:414-439):
+prefer the ``target_encoder`` key with ``encoder`` fallback, strip
+``module.`` / ``backbone.`` prefixes, tolerate missing/mismatched keys with
+a warning rather than failing.
+
+Layout transforms:
+  * torch Linear weight [out, in] -> [in, out]
+  * torch Conv3d patch kernel [D, C, t, p, p] -> flatten to [C*t*p*p, D]
+    (matches jepa_tpu.models.vit.patchify_video element order (C, t, ph, pw))
+  * per-layer block weights -> stacked leaves with leading [depth] axis
+  * mask_tokens.{k} [1, 1, Dp] -> [K, Dp]
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+from jepa_tpu.models.predictor import PredictorCfg
+from jepa_tpu.models.vit import ViTCfg
+
+logger = logging.getLogger(__name__)
+
+
+def strip_prefixes(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.").removeprefix("backbone.")
+        out[k] = v
+    return out
+
+
+def _np(sd, key):
+    v = sd[key]
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().float().numpy()
+    return np.asarray(v, dtype=np.float32)
+
+
+def _linear(sd, prefix):
+    return {"w": _np(sd, f"{prefix}.weight").T, "b": _np(sd, f"{prefix}.bias")}
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd, f"{prefix}.weight"), "bias": _np(sd, f"{prefix}.bias")}
+
+
+def _block_stack(sd, depth: int, prefix: str):
+    """Per-layer reference blocks -> stacked pytree."""
+    layers = []
+    for i in range(depth):
+        p = f"{prefix}.{i}"
+        layers.append(
+            {
+                "ln1": _ln(sd, f"{p}.norm1"),
+                "attn": {
+                    "qkv_w": _np(sd, f"{p}.attn.qkv.weight").T,
+                    "qkv_b": _np(sd, f"{p}.attn.qkv.bias"),
+                    "proj_w": _np(sd, f"{p}.attn.proj.weight").T,
+                    "proj_b": _np(sd, f"{p}.attn.proj.bias"),
+                },
+                "ln2": _ln(sd, f"{p}.norm2"),
+                "mlp": {
+                    "fc1_w": _np(sd, f"{p}.mlp.fc1.weight").T,
+                    "fc1_b": _np(sd, f"{p}.mlp.fc1.bias"),
+                    "fc2_w": _np(sd, f"{p}.mlp.fc2.weight").T,
+                    "fc2_b": _np(sd, f"{p}.mlp.fc2.bias"),
+                },
+            }
+        )
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layers)
+
+
+def port_encoder(sd: Dict, cfg: ViTCfg) -> Tuple[dict, dict]:
+    """Reference VisionTransformer state_dict -> (params, consts)."""
+    import jax.numpy as jnp
+
+    sd = strip_prefixes(sd)
+    w = _np(sd, "patch_embed.proj.weight")  # video [D,C,t,p,p] / image [D,C,p,p]
+    params = {
+        "patch_embed": {
+            "w": jnp.asarray(w.reshape(w.shape[0], -1).T),
+            "b": jnp.asarray(_np(sd, "patch_embed.proj.bias")),
+        },
+        "blocks": _block_stack(sd, cfg.depth, "blocks"),
+        "norm": {k: jnp.asarray(v) for k, v in _ln(sd, "norm").items()},
+    }
+    consts = {"pos_embed": jnp.asarray(_np(sd, "pos_embed")[0])}
+    return params, consts
+
+
+def port_predictor(sd: Dict, cfg: PredictorCfg) -> Tuple[dict, dict]:
+    import jax.numpy as jnp
+
+    sd = strip_prefixes(sd)
+    params = {
+        "predictor_embed": {k: jnp.asarray(v) for k, v in _linear(sd, "predictor_embed").items()},
+        "blocks": _block_stack(sd, cfg.depth, "predictor_blocks"),
+        "norm": {k: jnp.asarray(v) for k, v in _ln(sd, "predictor_norm").items()},
+        "predictor_proj": {k: jnp.asarray(v) for k, v in _linear(sd, "predictor_proj").items()},
+    }
+    if cfg.use_mask_tokens:
+        mts = []
+        for i in range(cfg.num_mask_tokens):
+            mts.append(_np(sd, f"mask_tokens.{i}").reshape(-1))
+        params["mask_tokens"] = jnp.asarray(np.stack(mts))
+    consts = {"pos_embed": jnp.asarray(_np(sd, "predictor_pos_embed")[0])}
+    return params, consts
+
+
+def port_attentive_classifier(sd: Dict, cfg) -> dict:
+    """Reference AttentiveClassifier state_dict -> params pytree."""
+    import jax.numpy as jnp
+
+    sd = strip_prefixes(sd)
+    cross_prefix = "pooler.cross_attention_block"
+    cross = {
+        "ln1": {k: jnp.asarray(v) for k, v in _ln(sd, f"{cross_prefix}.norm1").items()},
+        "q_w": jnp.asarray(_np(sd, f"{cross_prefix}.xattn.q.weight").T),
+        "q_b": jnp.asarray(_np(sd, f"{cross_prefix}.xattn.q.bias")),
+        "kv_w": jnp.asarray(_np(sd, f"{cross_prefix}.xattn.kv.weight").T),
+        "kv_b": jnp.asarray(_np(sd, f"{cross_prefix}.xattn.kv.bias")),
+        "proj_w": jnp.asarray(_np(sd, f"{cross_prefix}.xattn.proj.weight").T),
+        "proj_b": jnp.asarray(_np(sd, f"{cross_prefix}.xattn.proj.bias")),
+        "ln2": {k: jnp.asarray(v) for k, v in _ln(sd, f"{cross_prefix}.norm2").items()},
+        "mlp": {
+            "fc1_w": jnp.asarray(_np(sd, f"{cross_prefix}.mlp.fc1.weight").T),
+            "fc1_b": jnp.asarray(_np(sd, f"{cross_prefix}.mlp.fc1.bias")),
+            "fc2_w": jnp.asarray(_np(sd, f"{cross_prefix}.mlp.fc2.weight").T),
+            "fc2_b": jnp.asarray(_np(sd, f"{cross_prefix}.mlp.fc2.bias")),
+        },
+    }
+    pooler = {
+        "query_tokens": jnp.asarray(_np(sd, "pooler.query_tokens")[0]),
+        "cross": cross,
+    }
+    if cfg.depth > 1:
+        pooler["blocks"] = _block_stack(sd, cfg.depth - 1, "pooler.blocks")
+    return {
+        "pooler": pooler,
+        "linear": {k: jnp.asarray(v) for k, v in _linear(sd, "linear").items()},
+    }
+
+
+def load_pretrained_encoder(path: str, cfg: ViTCfg, checkpoint_key: str = "target_encoder"):
+    """Load a reference .pth.tar and port the encoder.
+
+    Follows the reference's key scheme: try ``checkpoint_key``, fall back to
+    ``encoder`` (reference eval.py:420-427).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if checkpoint_key in ckpt:
+        sd = ckpt[checkpoint_key]
+    elif "encoder" in ckpt:
+        logger.warning("checkpoint key %r missing; falling back to 'encoder'", checkpoint_key)
+        sd = ckpt["encoder"]
+    else:
+        sd = ckpt  # raw state_dict
+    return port_encoder(sd, cfg)
