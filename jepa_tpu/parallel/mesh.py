@@ -1,0 +1,72 @@
+"""Device mesh construction and sharding rules.
+
+The reference's parallelism is multi-host DDP over NCCL (reference:
+src/utils/distributed.py, DDP wraps in app/vjepa/train.py:295-297). The
+TPU-native equivalent: ONE jitted train step whose inputs carry
+NamedShardings over a mesh — XLA emits the gradient all-reduce (and any
+other collectives) from the sharded program; there are no wrapper objects.
+
+Mesh axes:
+  * "data"  — batch sharding (DP). Gradients are averaged by XLA because
+    the loss is a mean over a data-sharded batch.
+  * "fsdp"  — optional parameter/optimizer sharding axis (ZeRO-ish) for
+    models whose opt state would not fit replicated. V-JEPA's ViT-H fits
+    replicated on v5p (SURVEY §7 hard-part 4), so the default mesh is
+    1-D data with fsdp=1; the axis exists so big variants shard without
+    code changes.
+
+Multi-host: call jepa_tpu.parallel.dist.initialize() first; jax.devices()
+then spans the pod slice and the same code scales over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    fsdp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // fsdp
+    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+    arr = np.asarray(devices).reshape(data, fsdp)
+    return Mesh(arr, ("data", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split over data; rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2**20):
+    """FSDP-ish sharding: shard the largest axis of big leaves over 'fsdp'.
+
+    With fsdp=1 (default) this degenerates to full replication.
+    """
+    if mesh.shape["fsdp"] == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+
+    def rule(leaf):
+        if leaf.size < min_size_to_shard:
+            return replicated(mesh)
+        ax = int(np.argmax(leaf.shape))
+        if leaf.shape[ax] % mesh.shape["fsdp"] != 0:
+            return replicated(mesh)
+        spec = [None] * leaf.ndim
+        spec[ax] = "fsdp"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(rule, params)

@@ -1,0 +1,234 @@
+"""The fused V-JEPA train step: ONE jitted program per update.
+
+Everything the reference does across train_step + schedulers + optimizer +
+EMA (reference: app/vjepa/train.py:414-498) compiles into a single XLA
+program: on-device mask sampling, target forward (stop-gradient), context
+forwards, predictor forwards, L1(+reg) loss, backward, per-module grad
+clipping, AdamW, and the EMA target update. Schedules are pure functions of
+the step counter carried in the state, so resume is O(1) and deterministic.
+
+Masking modes:
+  * fixed (default): masks sampled on device each step with static
+    (K_enc, K_pred) per mask config — no host->device index traffic, no
+    recompilation, no attention masking needed.
+  * padded (parity): host collator feeds padded [B, K_cap] indices +
+    validity weights through `masks` in the batch dict; attention and the
+    loss consume the weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jepa_tpu.masks.multiblock3d import MaskGrid, MaskSpec, sample_masks_for_specs
+from jepa_tpu.masks.random_tube import TubeSpec, sample_tube_masks
+from jepa_tpu.models.predictor import PredictorCfg, init_predictor, predictor_forward
+from jepa_tpu.models.vit import ViTCfg, init_vit, vit_forward
+from jepa_tpu.ops.masking import repeat_interleave_batch
+from jepa_tpu.train.losses import jepa_loss, layer_norm_targets, variance_reg
+from jepa_tpu.train.optimizer import (
+    adamw_update,
+    clip_by_global_norm,
+    decay_mask,
+    ema_update,
+    init_adamw_state,
+)
+from jepa_tpu.utils.schedulers import CosineWD, LinearMomentum, WarmupCosine
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainCfg:
+    loss_exp: float = 1.0
+    reg_coeff: float = 0.0
+    clip_grad: Optional[float] = 10.0
+    # clipping starts after the warmup epochs, like the reference's
+    # `epoch > warmup` gate (train.py:468)
+    clip_after_step: int = 0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    num_clips: int = 1
+    batch_size: int = 8  # per-step global batch of *samples* (pre num_clips)
+    mask_mode: str = "fixed"  # 'fixed' | 'padded' | 'tube'
+    seed: int = 234
+
+
+def init_train_state(
+    rng: jax.Array, enc_cfg: ViTCfg, pred_cfg: PredictorCfg
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Build (state, consts). Target encoder starts as a copy of the encoder
+    (reference train.py:222 deepcopy)."""
+    k_enc, k_pred = jax.random.split(rng)
+    enc_params, enc_consts = init_vit(k_enc, enc_cfg)
+    pred_params, pred_consts = init_predictor(k_pred, pred_cfg)
+    params = {"encoder": enc_params, "predictor": pred_params}
+    state = {
+        "step": jnp.zeros((), jnp.int32),
+        "params": params,
+        "target": jax.tree.map(jnp.copy, enc_params),
+        "opt": init_adamw_state(params),
+    }
+    consts = {"encoder": enc_consts, "predictor": pred_consts}
+    return state, consts
+
+
+def build_train_step(
+    enc_cfg: ViTCfg,
+    pred_cfg: PredictorCfg,
+    consts: Dict[str, Any],
+    train_cfg: TrainCfg,
+    lr_sched: WarmupCosine,
+    wd_sched: CosineWD,
+    mom_sched: LinearMomentum,
+    mask_specs: Sequence,
+    grid: MaskGrid,
+    keep_counts: Sequence[Tuple[int, int]],
+):
+    """Returns step_fn(state, batch) -> (state, metrics).
+
+    batch: {'clips': [B*num_clips, T, H, W, C] float (normalized)} plus, in
+    padded mode, 'masks_enc'/'masks_pred' ([B,K] int32 lists) and
+    'enc_weights'/'pred_weights' validity floats.
+    """
+    enc_consts = consts["encoder"]
+    pred_consts = consts["predictor"]
+    wd_mask = None  # built lazily from params structure
+
+    def sample_step_masks(step, batch_size):
+        base = jax.random.PRNGKey(train_cfg.seed)
+        if train_cfg.mask_mode == "tube":
+            rng = jax.random.fold_in(jax.random.fold_in(base, 1), step)
+            masks = [
+                sample_tube_masks(jax.random.fold_in(rng, i), batch_size, spec, grid)
+                for i, spec in enumerate(mask_specs)
+            ]
+            return [m[0] for m in masks], [m[1] for m in masks]
+        return sample_masks_for_specs(
+            jax.random.fold_in(base, 1), step, batch_size, mask_specs, grid, keep_counts
+        )
+
+    def step_fn(state, batch):
+        nonlocal wd_mask
+        step = state["step"]
+        sched_step = (step + 1).astype(jnp.float32)
+        lr = lr_sched(sched_step)
+        wd = wd_sched(sched_step)
+        momentum = mom_sched(step.astype(jnp.float32))
+
+        clips = batch["clips"]
+        total_b = clips.shape[0]
+        sample_b = total_b // train_cfg.num_clips
+
+        if train_cfg.mask_mode == "padded":
+            masks_enc = batch["masks_enc"]
+            masks_pred = batch["masks_pred"]
+            enc_w = batch["enc_weights"]
+            pred_w = batch["pred_weights"]
+        else:
+            masks_enc, masks_pred = sample_step_masks(step, sample_b)
+            enc_w = [None] * len(masks_enc)
+            pred_w = [None] * len(masks_pred)
+
+        if train_cfg.num_clips > 1:
+            rep = lambda m: (
+                repeat_interleave_batch(m, sample_b, train_cfg.num_clips)
+                if m is not None
+                else None
+            )
+            masks_enc = [rep(m) for m in masks_enc]
+            masks_pred = [rep(m) for m in masks_pred]
+            enc_w = [rep(w) for w in enc_w]
+            pred_w = [rep(w) for w in pred_w]
+
+        kv_enc = [None if w is None else w > 0.5 for w in enc_w]
+        kv_pred = [None if w is None else w > 0.5 for w in pred_w]
+
+        # ---- target features (no grad): full forward + feature-LN + gather
+        h_full = vit_forward(state["target"], enc_consts, clips, enc_cfg)
+        h_full = layer_norm_targets(h_full)
+        h_full = jax.lax.stop_gradient(h_full)
+        targets = [
+            jnp.take_along_axis(h_full, m[:, :, None], axis=1) for m in masks_pred
+        ]
+
+        def loss_fn(params):
+            preds = []
+            for i, (me, mp) in enumerate(zip(masks_enc, masks_pred)):
+                z = vit_forward(
+                    params["encoder"], enc_consts, clips, enc_cfg,
+                    masks=me, kv_mask=kv_enc[i],
+                )
+                p = predictor_forward(
+                    params["predictor"], pred_consts, z, targets[i], me, mp,
+                    pred_cfg, mask_index=i,
+                    kv_mask_ctxt=kv_enc[i], kv_mask_tgt=kv_pred[i],
+                    rng=jax.random.fold_in(jax.random.PRNGKey(train_cfg.seed + 2), step),
+                )
+                preds.append(p)
+            l_jepa = jepa_loss(preds, targets, train_cfg.loss_exp, pred_w)
+            l_reg = variance_reg(preds, pred_w)
+            loss = l_jepa + train_cfg.reg_coeff * l_reg
+            return loss, (l_jepa, l_reg)
+
+        (loss, (l_jepa, l_reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+
+        clip_on = jnp.asarray(step >= train_cfg.clip_after_step)
+        if train_cfg.clip_grad is not None:
+            g_enc, enc_norm = clip_by_global_norm(
+                grads["encoder"], train_cfg.clip_grad, clip_on
+            )
+            g_pred, pred_norm = clip_by_global_norm(
+                grads["predictor"], train_cfg.clip_grad, clip_on
+            )
+            grads = {"encoder": g_enc, "predictor": g_pred}
+        else:
+            from jepa_tpu.train.optimizer import global_norm
+
+            enc_norm = global_norm(grads["encoder"])
+            pred_norm = global_norm(grads["predictor"])
+
+        if wd_mask is None:
+            wd_mask = decay_mask(state["params"])
+        new_params, new_opt, opt_stats = adamw_update(
+            state["params"],
+            grads,
+            state["opt"],
+            lr=lr,
+            wd=wd,
+            mask=wd_mask,
+            step=sched_step,
+            b1=train_cfg.betas[0],
+            b2=train_cfg.betas[1],
+            eps=train_cfg.eps,
+        )
+        new_target = ema_update(state["target"], new_params["encoder"], momentum)
+
+        new_state = {
+            "step": step + 1,
+            "params": new_params,
+            "target": new_target,
+            "opt": new_opt,
+        }
+        flat = clips.reshape(total_b, -1).astype(jnp.float32)
+        input_var = jnp.var(flat, axis=1, ddof=1)
+        metrics = {
+            "loss": loss,
+            "loss_jepa": l_jepa,
+            "loss_reg": l_reg,
+            "lr": lr,
+            "wd": wd,
+            "ema_momentum": momentum,
+            "enc_grad_norm": enc_norm,
+            "pred_grad_norm": pred_norm,
+            "input_var": jnp.mean(input_var),
+            "input_var_min": jnp.min(input_var),
+            **opt_stats,
+        }
+        return new_state, metrics
+
+    return step_fn

@@ -1,0 +1,135 @@
+"""Mask generators: shape invariants, statistics, determinism.
+
+Reference invariants (src/masks/multiblock3d.py, random_tube.py): enc/pred
+index sets are disjoint complements on the token grid; context is confined
+to the first max_temporal_keep frames; all samples in a batch share the
+per-step block size; tube masks tile one spatial pattern across time.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jepa_tpu.masks.multiblock3d import (
+    HostMaskGenerator,
+    MaskCollator,
+    MaskGrid,
+    MaskSpec,
+    expected_pred_coverage,
+    resolve_keep_counts,
+    sample_masks,
+    sample_masks_for_specs,
+)
+from jepa_tpu.masks.padding import pad_masks, static_cap
+from jepa_tpu.masks.random_tube import TubeSpec, keep_counts, sample_tube_masks
+
+GRID = MaskGrid(t=8, h=14, w=14)  # ViT-L/16 @ 224, 16 frames
+SHORT = MaskSpec(aspect_ratio=(0.75, 1.5), num_blocks=8, spatial_scale=(0.15, 0.15))
+LONG = MaskSpec(aspect_ratio=(0.75, 1.5), num_blocks=2, spatial_scale=(0.7, 0.7))
+
+
+def test_fixed_mode_shapes_and_validity():
+    ke, kp = resolve_keep_counts(SHORT, GRID)
+    me, mp = sample_masks(jax.random.PRNGKey(0), 4, SHORT, GRID, ke, kp)
+    assert me.shape == (4, ke) and mp.shape == (4, kp)
+    me, mp = np.asarray(me), np.asarray(mp)
+    assert me.min() >= 0 and me.max() < GRID.n
+    for b in range(4):
+        assert len(set(me[b])) == ke, "enc indices must be unique"
+        assert len(set(mp[b])) == kp, "pred indices must be unique"
+        assert not (set(me[b]) & set(mp[b])), "enc/pred must be disjoint"
+        assert set(me[b]) | set(mp[b]) == set(range(GRID.n)), "complement partition"
+
+
+def test_fixed_mode_coverage_matches_expectation():
+    # short-range config: 8 blocks x 0.15 -> ~73% predicted
+    cov = expected_pred_coverage(SHORT, GRID)
+    assert 0.6 < cov < 0.85
+    ke, kp = resolve_keep_counts(SHORT, GRID)
+    assert abs(kp / GRID.n - cov) < 0.01
+    # long-range: 2 blocks x 0.7 -> ~91%
+    cov_l = expected_pred_coverage(LONG, GRID)
+    assert 0.85 < cov_l < 0.97
+
+
+def test_fixed_mode_deterministic_per_step_and_jittable():
+    ke, kp = resolve_keep_counts(LONG, GRID)
+    key = jax.random.PRNGKey(7)
+    f = jax.jit(
+        lambda rng, step: sample_masks_for_specs(
+            rng, step, 2, [SHORT, LONG], GRID,
+            [resolve_keep_counts(SHORT, GRID), (ke, kp)],
+        )
+    )
+    a = f(key, 5)
+    b = f(key, 5)
+    c = f(key, 6)
+    np.testing.assert_array_equal(np.asarray(a[0][0]), np.asarray(b[0][0]))
+    assert not np.array_equal(np.asarray(a[0][0]), np.asarray(c[0][0]))
+
+
+def test_fixed_mode_max_temporal_keep():
+    spec = MaskSpec(num_blocks=2, spatial_scale=(0.3, 0.3), max_temporal_keep=0.5)
+    ke, kp = resolve_keep_counts(spec, GRID)
+    me, mp = sample_masks(jax.random.PRNGKey(1), 2, spec, GRID, ke, kp)
+    per_frame = GRID.h * GRID.w
+    ctx_dur = max(1, int(GRID.t * 0.5))
+    assert np.asarray(me).max() < ctx_dur * per_frame, "context confined to early frames"
+
+
+def test_host_generator_reference_semantics():
+    gen = HostMaskGenerator(SHORT, GRID, seed=3)
+    enc, pred = gen(batch_size=6)
+    assert enc.shape[0] == 6 and pred.shape[0] == 6
+    assert enc.shape[1] + pred.shape[1] <= GRID.n
+    for b in range(6):
+        assert not (set(enc[b]) & set(pred[b]))
+    # batch-min truncation -> rectangular; all K_enc equal by construction
+    # determinism: same counter value -> same masks
+    gen2 = HostMaskGenerator(SHORT, GRID, seed=3)
+    enc2, pred2 = gen2(batch_size=6)
+    np.testing.assert_array_equal(enc, enc2)
+    # next step differs
+    enc3, _ = gen2(batch_size=6)
+    assert enc3.shape != enc.shape or not np.array_equal(enc3, enc)
+
+
+def test_host_collator_resume_is_o1():
+    col = MaskCollator([SHORT, LONG], GRID, seed=1)
+    for _ in range(5):
+        col(2)
+    a_e, a_p = col(2)
+    col2 = MaskCollator([SHORT, LONG], GRID, seed=1)
+    col2.set_step(5)
+    b_e, b_p = col2(2)
+    for x, y in zip(a_e + a_p, b_e + b_p):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_tube_masks():
+    spec = TubeSpec(ratio=0.9)
+    ke, kp = keep_counts(spec, GRID)
+    assert ke == int(196 * 0.1) * 8
+    me, mp = sample_tube_masks(jax.random.PRNGKey(2), 3, spec, GRID)
+    me = np.asarray(me)
+    assert me.shape == (3, ke)
+    # same spatial pattern tiled across time
+    per_frame = GRID.h * GRID.w
+    spatial0 = me[0][me[0] < per_frame]
+    for t in range(1, GRID.t):
+        frame_t = me[0][(me[0] >= t * per_frame) & (me[0] < (t + 1) * per_frame)]
+        np.testing.assert_array_equal(frame_t - t * per_frame, spatial0)
+
+
+def test_pad_masks_and_caps():
+    idx = np.arange(12, dtype=np.int32).reshape(2, 6)
+    padded, w = pad_masks(idx, 8)
+    assert padded.shape == (2, 8) and w.shape == (2, 8)
+    np.testing.assert_array_equal(padded[:, :6], idx)
+    assert w[:, 6:].sum() == 0 and w[:, :6].min() == 1
+    assert static_cap(1568, 0.35) == 640
+    try:
+        pad_masks(idx, 4)
+        assert False
+    except ValueError:
+        pass
