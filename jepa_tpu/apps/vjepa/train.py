@@ -1,0 +1,324 @@
+"""V-JEPA pretraining application (the reference's app/vjepa/train.py:66-586
+re-designed TPU-first).
+
+Differences that matter:
+  * ONE jitted fused train step (masks + forwards + loss + AdamW + EMA);
+    the Python loop only feeds batches and logs.
+  * Masks are sampled on device (fixed mode) or host-collated + padded
+    (parity mode, meta.mask_mode: padded).
+  * Augmentation is a jitted device program over raw uint8 frames.
+  * Schedules are pure functions of the step in the state — resume never
+    replays iterators.
+  * bfloat16 is native compute dtype (fp32 params/opt state); no GradScaler.
+
+Config schema: identical to the reference YAML (configs/pretrain/*.yaml).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jepa_tpu.configs import dump_config
+from jepa_tpu.data.loader import make_video_loader
+from jepa_tpu.data.transforms import AugmentCfg, pretrain_augment
+from jepa_tpu.masks.multiblock3d import MaskGrid, MaskSpec, resolve_keep_counts
+from jepa_tpu.masks.padding import pad_masks, static_cap
+from jepa_tpu.masks.multiblock3d import MaskCollator as MB3DCollator
+from jepa_tpu.masks.random_tube import TubeMaskCollator, TubeSpec, keep_counts as tube_keep_counts
+from jepa_tpu.models.factory import predictor_cfg_for, vit_cfg
+from jepa_tpu.parallel import mesh as mesh_lib
+from jepa_tpu.parallel.dist import initialize as dist_init
+from jepa_tpu.train.step import TrainCfg, build_train_step, init_train_state
+from jepa_tpu.utils import checkpoint as ckpt_lib
+from jepa_tpu.utils.logging import AverageMeter, CSVLogger, get_logger
+from jepa_tpu.utils.schedulers import build_schedules
+
+LOG_FREQ = 10
+CHECKPOINT_FREQ = 1
+
+
+def main(args: dict, resume_preempt: bool = False):
+    # ---- config unpack (same keys as the reference) --------------------
+    cfgs_meta = args.get("meta", {})
+    load_model = bool(cfgs_meta.get("load_checkpoint")) or resume_preempt
+    r_file = cfgs_meta.get("read_checkpoint", None)
+    seed = int(cfgs_meta.get("seed", 0))
+    save_every_freq = int(cfgs_meta.get("save_every_freq", -1))
+    which_dtype = str(cfgs_meta.get("dtype", "bfloat16")).lower()
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.bfloat16, "float32": jnp.float32}[which_dtype]
+    mask_mode = cfgs_meta.get("mask_mode", "fixed")  # jepa_tpu extension
+
+    cfgs_mask = args.get("mask", [])
+
+    cfgs_model = args.get("model", {})
+    model_name = cfgs_model.get("model_name", "vit_base")
+    pred_depth = int(cfgs_model.get("pred_depth", 6))
+    pred_embed_dim = int(cfgs_model.get("pred_embed_dim", 384))
+    uniform_power = bool(cfgs_model.get("uniform_power", True))
+    use_mask_tokens = bool(cfgs_model.get("use_mask_tokens", True))
+    zero_init_mask_tokens = bool(cfgs_model.get("zero_init_mask_tokens", True))
+
+    cfgs_data = args.get("data", {})
+    dataset_type = str(cfgs_data.get("dataset_type", "videodataset")).lower()
+    dataset_paths = cfgs_data.get("datasets", [])
+    datasets_weights = cfgs_data.get("datasets_weights", None)
+    batch_size = int(cfgs_data.get("batch_size"))
+    num_clips = int(cfgs_data.get("num_clips", 1))
+    num_frames = int(cfgs_data.get("num_frames", 16))
+    tubelet_size = int(cfgs_data.get("tubelet_size", 2))
+    sampling_rate = int(cfgs_data.get("sampling_rate", 4))
+    duration = cfgs_data.get("clip_duration", None)
+    crop_size = int(cfgs_data.get("crop_size", 224))
+    patch_size = int(cfgs_data.get("patch_size", 16))
+    num_workers = int(cfgs_data.get("num_workers", 8))
+    filter_short_videos = bool(cfgs_data.get("filter_short_videos", False))
+    decode_backend = cfgs_data.get("decode_backend", "auto")  # jepa_tpu extension
+
+    cfgs_aug = args.get("data_aug", {})
+    aug_cfg = AugmentCfg(
+        crop_size=crop_size,
+        random_resize_scale=tuple(cfgs_aug.get("random_resize_scale", (0.3, 1.0))),
+        random_resize_aspect_ratio=tuple(cfgs_aug.get("random_resize_aspect_ratio", (0.75, 1.35))),
+        motion_shift=bool(cfgs_aug.get("motion_shift", False)),
+        reprob=float(cfgs_aug.get("reprob", 0.0)),
+    )
+
+    cfgs_loss = args.get("loss", {})
+    loss_exp = float(cfgs_loss.get("loss_exp", 1.0))
+    reg_coeff = float(cfgs_loss.get("reg_coeff", 0.0))
+
+    cfgs_opt = args.get("optimization", {})
+    ipe = cfgs_opt.get("ipe", None)
+    ipe_scale = float(cfgs_opt.get("ipe_scale", 1.0))
+    clip_grad = cfgs_opt.get("clip_grad", None)
+    wd = float(cfgs_opt.get("weight_decay"))
+    final_wd = float(cfgs_opt.get("final_weight_decay"))
+    num_epochs = int(cfgs_opt.get("epochs"))
+    warmup = float(cfgs_opt.get("warmup"))
+    start_lr = float(cfgs_opt.get("start_lr"))
+    lr = float(cfgs_opt.get("lr"))
+    final_lr = float(cfgs_opt.get("final_lr"))
+    ema = cfgs_opt.get("ema", (0.998, 1.0))
+    betas = tuple(cfgs_opt.get("betas", (0.9, 0.999)))
+    eps = float(cfgs_opt.get("eps", 1e-8))
+
+    cfgs_logging = args.get("logging", {})
+    folder = cfgs_logging.get("folder", "./runs")
+    tag = cfgs_logging.get("write_tag", "jepa")
+
+    # ---- runtime --------------------------------------------------------
+    world_size, rank = dist_init()
+    logger = get_logger(__name__, rank=rank)
+    logger.info("initialized rank/world: %d/%d over %d devices", rank, world_size, jax.device_count())
+    os.makedirs(folder, exist_ok=True)
+    if rank == 0:
+        dump_config(args, os.path.join(folder, "params-pretrain.yaml"))
+
+    devices_per_host = jax.local_device_count()
+    global_batch = batch_size * world_size * devices_per_host
+    mesh = mesh_lib.make_mesh()
+
+    # ---- model ----------------------------------------------------------
+    enc_cfg = vit_cfg(
+        model_name,
+        img_size=crop_size,
+        patch_size=patch_size,
+        num_frames=num_frames,
+        tubelet_size=tubelet_size,
+        uniform_power=uniform_power,
+        compute_dtype=compute_dtype,
+    )
+    pred_cfg = predictor_cfg_for(
+        enc_cfg,
+        predictor_embed_dim=pred_embed_dim,
+        depth=pred_depth,
+        use_mask_tokens=use_mask_tokens,
+        num_mask_tokens=len(cfgs_mask),
+        zero_init_mask_tokens=zero_init_mask_tokens,
+    )
+    state, consts = init_train_state(jax.random.PRNGKey(seed), enc_cfg, pred_cfg)
+    n_enc = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state["params"]["encoder"]))
+    n_pred = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state["params"]["predictor"]))
+    logger.info("encoder parameters: %d", n_enc)
+    logger.info("predictor parameters: %d", n_pred)
+
+    # ---- masks ----------------------------------------------------------
+    grid = MaskGrid.from_data_cfg(crop_size, patch_size, num_frames, tubelet_size)
+    mask_type = cfgs_data.get("mask_type", "multiblock3d")
+    if mask_type == "multiblock3d":
+        specs = [MaskSpec.from_cfg(m) for m in cfgs_mask]
+        kc = [resolve_keep_counts(s, grid) for s in specs]
+        host_collator = MB3DCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
+    else:
+        specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]
+        kc = [tube_keep_counts(s, grid) for s in specs]
+        host_collator = TubeMaskCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
+        if mask_mode == "fixed":
+            mask_mode = "tube"
+    pad_caps = [
+        (static_cap(grid.n, 0.6), static_cap(grid.n, 1.0)) for _ in specs
+    ]
+    logger.info("mask grid %s keep counts %s mode %s", (grid.t, grid.h, grid.w), kc, mask_mode)
+
+    # ---- data -----------------------------------------------------------
+    if dataset_type == "synthetic":
+        # Manifest-free smoke/bench mode: fabricate a manifest of synthetic
+        # clip ids; the synthetic decode backend renders deterministic video.
+        n_fake = int(cfgs_data.get("num_synthetic_videos", 512))
+        manifest = os.path.join(folder, f"synthetic_r{rank}.csv")
+        with open(manifest, "w") as f:
+            for i in range(n_fake):
+                f.write(f"synthetic://video{i} 0\n")
+        ds, loader, sampler = make_video_loader(
+            data_paths=[manifest],
+            batch_size=batch_size * devices_per_host,
+            frames_per_clip=num_frames,
+            frame_step=sampling_rate,
+            num_clips=num_clips,
+            decode_backend="synthetic",
+            rank=rank, world_size=world_size, num_workers=num_workers, seed=seed,
+        )
+    else:
+        ds, loader, sampler = make_video_loader(
+            data_paths=dataset_paths,
+            datasets_weights=datasets_weights,
+            batch_size=batch_size * devices_per_host,
+            frames_per_clip=num_frames,
+            frame_step=sampling_rate,
+            num_clips=num_clips,
+            duration=duration,
+            filter_short_videos=filter_short_videos,
+            filter_long_videos=int(cfgs_data.get("filter_long_videos", 1e9)),
+            decode_backend=decode_backend,
+            rank=rank, world_size=world_size, num_workers=num_workers, seed=seed,
+        )
+    if ipe is None:
+        ipe = len(loader)
+    ipe = int(ipe)
+    logger.info("iterations per epoch: %d (loader length %d)", ipe, len(loader))
+
+    # ---- schedules + step -----------------------------------------------
+    lr_sched, wd_sched, mom_sched = build_schedules(
+        ipe=ipe, num_epochs=num_epochs, warmup_epochs=warmup,
+        start_lr=start_lr, ref_lr=lr, final_lr=final_lr,
+        wd=wd, final_wd=final_wd, ema=tuple(ema), ipe_scale=ipe_scale,
+    )
+    train_cfg = TrainCfg(
+        loss_exp=loss_exp, reg_coeff=reg_coeff,
+        clip_grad=None if clip_grad is None else float(clip_grad),
+        clip_after_step=int((warmup + 1) * ipe),  # reference: epoch > warmup
+        betas=betas, eps=eps, num_clips=num_clips,
+        batch_size=batch_size, mask_mode=mask_mode, seed=seed,
+    )
+    step_fn = jax.jit(
+        build_train_step(
+            enc_cfg, pred_cfg, consts, train_cfg,
+            lr_sched, wd_sched, mom_sched, specs, grid, kc,
+        ),
+        donate_argnums=(0,),
+    )
+    batch_sharding = mesh_lib.batch_sharding(mesh)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    # ---- resume ----------------------------------------------------------
+    start_epoch = 0
+    latest_exists = os.path.exists(os.path.join(os.path.abspath(folder), f"{tag}-latest"))
+    if load_model or latest_exists:
+        state, start_epoch = ckpt_lib.load_checkpoint(folder, tag, state, read_path=r_file)
+        if host_collator is not None:
+            host_collator.set_step(start_epoch * ipe)
+
+    # ---- logging ---------------------------------------------------------
+    csv_logger = CSVLogger(
+        os.path.join(folder, f"{tag}_r{rank}.csv"),
+        ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"),
+        ("%.5f", "loss-jepa"), ("%.5f", "reg-loss"),
+        ("%.5f", "enc-grad-norm"), ("%.5f", "pred-grad-norm"),
+        ("%d", "step-time(ms)"), ("%d", "wall-time(ms)"),
+    )
+
+    aug_key = jax.random.PRNGKey(seed + 11)
+
+    def device_batch(np_batch, step):
+        clips = np_batch["clips"]  # [nc*B, T, H, W, 3] uint8
+        clips = jax.device_put(jnp.asarray(clips), batch_sharding)
+        clips = pretrain_augment(jax.random.fold_in(aug_key, step), clips, aug_cfg)
+        clips = clips.astype(compute_dtype)
+        batch = {"clips": clips}
+        if mask_mode == "padded":
+            me_list, mp_list = host_collator(batch_size * devices_per_host)
+            batch["masks_enc"], batch["enc_weights"] = [], []
+            batch["masks_pred"], batch["pred_weights"] = [], []
+            for (me, mp), (ce, cp) in zip(zip(me_list, mp_list), pad_caps):
+                m, w = pad_masks(me, ce)
+                batch["masks_enc"].append(jax.device_put(jnp.asarray(m), batch_sharding))
+                batch["enc_weights"].append(jax.device_put(jnp.asarray(w), batch_sharding))
+                m, w = pad_masks(mp, cp)
+                batch["masks_pred"].append(jax.device_put(jnp.asarray(m), batch_sharding))
+                batch["pred_weights"].append(jax.device_put(jnp.asarray(w), batch_sharding))
+        return batch
+
+    # ---- loop ------------------------------------------------------------
+    loader_iter = iter(loader)
+    for epoch in range(start_epoch, num_epochs):
+        logger.info("Epoch %d", epoch + 1)
+        sampler.set_epoch(epoch)
+        meters = {k: AverageMeter() for k in ("loss", "jepa", "reg", "step_ms", "wall_ms", "ivar", "ivar_min")}
+
+        for itr in range(ipe):
+            t0 = time.time()
+            try:
+                np_batch = next(loader_iter)
+            except StopIteration:
+                logger.info("Exhausted data loaders. Refreshing...")
+                loader_iter = iter(loader)
+                np_batch = next(loader_iter)
+
+            global_step = epoch * ipe + itr
+            batch = device_batch(np_batch, global_step)
+            t1 = time.time()
+            state, metrics = step_fn(state, batch)
+            metrics = jax.device_get(metrics)
+            step_ms = (time.time() - t1) * 1000
+            wall_ms = (time.time() - t0) * 1000
+
+            loss = float(metrics["loss"])
+            meters["loss"].update(loss)
+            meters["jepa"].update(float(metrics["loss_jepa"]))
+            meters["reg"].update(float(metrics["loss_reg"]))
+            meters["step_ms"].update(step_ms)
+            meters["wall_ms"].update(wall_ms)
+            meters["ivar"].update(float(metrics["input_var"]))
+            meters["ivar_min"].update(float(metrics["input_var_min"]))
+
+            csv_logger.log(
+                epoch + 1, itr, loss,
+                float(metrics["loss_jepa"]), float(metrics["loss_reg"]),
+                float(metrics["enc_grad_norm"]), float(metrics["pred_grad_norm"]),
+                step_ms, wall_ms,
+            )
+            if itr % LOG_FREQ == 0 or not np.isfinite(loss):
+                logger.info(
+                    "[%d, %5d] loss: %.3f | p%.3f r%.3f | input_var: %.3f %.3f "
+                    "[wd: %.2e] [lr: %.2e] [step: %.1f ms] [wall: %.1f ms] "
+                    "[m1: %.2e m2: %.2e] [g: %.2e %.2e]",
+                    epoch + 1, itr, meters["loss"].avg, meters["jepa"].avg,
+                    meters["reg"].avg, meters["ivar"].avg, meters["ivar_min"].avg,
+                    float(metrics["wd"]), float(metrics["lr"]),
+                    meters["step_ms"].avg, meters["wall_ms"].avg,
+                    float(metrics["exp_avg_abs_mean"]), float(metrics["exp_avg_sq_mean"]),
+                    float(metrics["enc_grad_norm"]), float(metrics["pred_grad_norm"]),
+                )
+            assert np.isfinite(loss), "loss is nan"
+
+        logger.info("avg. loss %.3f", meters["loss"].avg)
+        if rank == 0 and (epoch % CHECKPOINT_FREQ == 0 or epoch == num_epochs - 1):
+            ckpt_lib.save_checkpoint(folder, tag, jax.device_get(state), epoch + 1, save_every_freq)
+
+    return state

@@ -71,9 +71,13 @@ def dot_product_attention(
         if impl == "auto":
             use_flash = _on_tpu() and _flash_supported(q, k)
         if use_flash:
-            from jepa_tpu.ops.flash_attention import flash_attention
-
-            return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale)
+            try:
+                from jepa_tpu.ops.flash_attention import flash_attention
+            except ImportError:
+                if impl == "flash":
+                    raise
+            else:
+                return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale)
         return xla_attention(q, k, v, kv_mask=kv_mask, scale=scale)
     raise ValueError(f"unknown attention impl: {impl}")
 
