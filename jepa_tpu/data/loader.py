@@ -169,6 +169,7 @@ def make_video_loader(
     filter_long_videos: int = int(1e9),
     duration=None,
     decode_backend: str = "auto",
+    decode_size=None,
     rank: int = 0,
     world_size: int = 1,
     num_workers: int = 8,
@@ -191,6 +192,7 @@ def make_video_loader(
         filter_long_videos=filter_long_videos,
         duration=duration,
         decode_backend=decode_backend,
+        decode_size=decode_size,
         seed=seed + rank,
     )
     if ds.sample_weights is not None:

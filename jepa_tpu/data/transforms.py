@@ -189,6 +189,33 @@ def pretrain_augment(rng, clips_uint8, cfg: AugmentCfg):
     return jax.vmap(per_sample)(keys, x)
 
 
+@partial(jax.jit, static_argnames=("crop_size", "num_views"))
+def multiview_crops(clips: jnp.ndarray, crop_size: int, num_views: int,
+                    mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Val-side multi-view: slide `num_views` square crops along the long
+    side of short-side==crop_size frames and normalize (reference
+    EvalVideoTransform, evals/video_classification_frozen/utils.py:286-323).
+
+    clips: [B, S, T, H, W, C] uint8 with min(H, W) == crop_size.
+    Returns [B, S, num_views, T, crop, crop, C] float32.
+    """
+    b, s, t, h, w, c = clips.shape
+    x = clips.astype(jnp.float32)
+    long_side = max(h, w)
+    step = (long_side - crop_size) // max(1, num_views - 1)
+    views = []
+    for i in range(num_views):
+        start = i * step
+        if h > w:
+            views.append(x[:, :, :, start : start + crop_size, :, :])
+        else:
+            views.append(x[:, :, :, :, start : start + crop_size, :])
+    out = jnp.stack(views, axis=2)
+    m = jnp.asarray(mean, jnp.float32) * 255.0
+    sd = jnp.asarray(std, jnp.float32) * 255.0
+    return (out - m) / sd
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def resize_short_side(clips_uint8, out_size: int):
     """Eval-side: resize so the SHORT side == out_size (aspect preserved is

@@ -81,20 +81,25 @@ class NpyBackend:
         return decode_npy(path, indices)
 
 
-def get_backend(name: str):
+def get_backend(name: str, decode_size=None):
+    """decode_size (h, w): fixed decode canvas so raw frames batch uniformly
+    (device-side augmentation needs one static shape; the native decoder
+    resizes for free inside sws_scale)."""
     if name == "synthetic":
+        if decode_size is not None:
+            return SyntheticBackend(height=decode_size[0], width=decode_size[1])
         return SyntheticBackend()
     if name == "npy":
         return NpyBackend()
     if name == "native":
         from jepa_tpu.native.videodec import NativeBackend
 
-        return NativeBackend()
+        return NativeBackend(out_size=decode_size)
     if name == "auto":
         try:
             from jepa_tpu.native.videodec import NativeBackend
 
-            return NativeBackend()
+            return NativeBackend(out_size=decode_size)
         except Exception as e:
             logger.warning("native video decoder unavailable (%s); using npy backend", e)
             return NpyBackend()
@@ -199,13 +204,14 @@ class VideoDataset:
     filter_long_videos: int = int(1e9)
     duration: Optional[float] = None
     decode_backend: str = "auto"
+    decode_size: Optional[Tuple[int, int]] = None
     seed: int = 0
 
     def __post_init__(self):
         self.samples, self.labels, self.sample_weights = load_manifests(
             self.data_paths, self.datasets_weights
         )
-        self.backend = get_backend(self.decode_backend)
+        self.backend = get_backend(self.decode_backend, self.decode_size)
         self._rng = np.random.default_rng(self.seed)
 
     def __len__(self):

@@ -1,0 +1,326 @@
+"""Frozen-encoder attentive-probe video classification (K400 / SSv2).
+
+Re-design of reference evals/video_classification_frozen/eval.py:67-561:
+a pretrained encoder (ported .pth.tar zoo checkpoint or jepa_tpu orbax
+run) is frozen; an AttentiveClassifier trains with cross-entropy on top of
+aggregated clip features; validation is multi-segment x multi-view with
+softmax-averaged top-1.
+
+TPU-native structure: TWO jitted programs — a probe train step (encoder
+fwd + classifier fwd/bwd + clip(1.0) + AdamW fused) and a val step (one
+batched encoder fwd over all S*V views + per-view classifier + softmax
+average). Probe schedules are pure functions of step; the encoder forward
+is shared and cached across both programs' compilations.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jepa_tpu.data.loader import make_video_loader
+from jepa_tpu.data.transforms import AugmentCfg, multiview_crops, pretrain_augment
+from jepa_tpu.evals.aggregation import clip_aggregation, frame_aggregation, temporal_pos_embed_table
+from jepa_tpu.models.attentive import (
+    AttentiveCfg,
+    classifier_forward,
+    init_attentive_classifier,
+)
+from jepa_tpu.models.factory import vit_cfg
+from jepa_tpu.models.vit import init_vit
+from jepa_tpu.parallel import mesh as mesh_lib
+from jepa_tpu.parallel.dist import initialize as dist_init
+from jepa_tpu.train.optimizer import (
+    adamw_update,
+    clip_by_global_norm,
+    decay_mask,
+    init_adamw_state,
+)
+from jepa_tpu.utils import checkpoint as ckpt_lib
+from jepa_tpu.utils.checkpoint_port import load_pretrained_encoder
+from jepa_tpu.utils.logging import AverageMeter, CSVLogger, get_logger
+from jepa_tpu.utils.schedulers import CosineWD, WarmupCosine
+
+
+def _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger):
+    """Ported torch zoo checkpoint (.pth.tar) or jepa_tpu orbax run dir."""
+    if pretrained_path.endswith((".pth.tar", ".pth", ".pt")):
+        return load_pretrained_encoder(pretrained_path, enc_cfg, checkpoint_key)
+    # orbax checkpoint from jepa_tpu pretraining: restore target encoder
+    params, consts = init_vit(jax.random.PRNGKey(0), enc_cfg)
+    state = {
+        "step": jnp.zeros((), jnp.int32),
+        "params": {"encoder": params},
+        "target": params,
+    }
+    key = {"target_encoder": "target", "encoder": "params"}.get(checkpoint_key, "target")
+    try:
+        restored, _ = ckpt_lib.load_checkpoint(
+            os.path.dirname(pretrained_path) or ".", os.path.basename(pretrained_path),
+            state, read_path=pretrained_path,
+        )
+        params = restored[key] if key == "target" else restored["params"]["encoder"]
+        logger.info("restored jepa_tpu encoder (%s) from %s", checkpoint_key, pretrained_path)
+    except Exception as e:
+        logger.warning("could not restore %s (%s); using random init", pretrained_path, e)
+    return params, consts
+
+
+def main(args_eval: dict, resume_preempt: bool = False):
+    # ---- config (reference schema) --------------------------------------
+    args_pretrain = args_eval.get("pretrain", {})
+    checkpoint_key = args_pretrain.get("checkpoint_key", "target_encoder")
+    model_name = args_pretrain.get("model_name")
+    patch_size = int(args_pretrain.get("patch_size", 16))
+    pretrain_folder = args_pretrain.get("folder", ".")
+    ckp_fname = args_pretrain.get("checkpoint", "")
+    tag = args_pretrain.get("write_tag", "jepa")
+    uniform_power = bool(args_pretrain.get("uniform_power", False))
+    tubelet_size = int(args_pretrain.get("tubelet_size", 2))
+    pretrain_frames_per_clip = int(args_pretrain.get("frames_per_clip", 1))
+    eval_frame_step = int(args_pretrain.get("frame_step", 4))
+    eval_duration = args_pretrain.get("clip_duration", None)
+    pretrained_path = os.path.join(pretrain_folder, ckp_fname)
+
+    args_data = args_eval.get("data", {})
+    train_data_path = [args_data.get("dataset_train")]
+    val_data_path = [args_data.get("dataset_val")]
+    num_classes = int(args_data.get("num_classes"))
+    eval_num_segments = int(args_data.get("num_segments", 1))
+    eval_frames_per_clip = int(args_data.get("frames_per_clip", 16))
+    eval_num_views_per_segment = int(args_data.get("num_views_per_segment", 1))
+    decode_backend = args_data.get("decode_backend", "auto")
+    num_workers = int(args_data.get("num_workers", 8))
+
+    args_opt = args_eval.get("optimization", {})
+    resolution = int(args_opt.get("resolution", 224))
+    batch_size = int(args_opt.get("batch_size"))
+    attend_across_segments = bool(args_opt.get("attend_across_segments", False))
+    num_epochs = int(args_opt.get("num_epochs"))
+    wd = float(args_opt.get("weight_decay", 0.01))
+    start_lr = float(args_opt.get("start_lr"))
+    lr = float(args_opt.get("lr"))
+    final_lr = float(args_opt.get("final_lr"))
+    warmup = float(args_opt.get("warmup", 0.0))
+    use_bfloat16 = bool(args_opt.get("use_bfloat16", True))
+
+    resume_checkpoint = bool(args_eval.get("resume_checkpoint", False)) or resume_preempt
+    eval_tag = args_eval.get("tag", None)
+
+    world_size, rank = dist_init()
+    logger = get_logger(__name__, rank=rank)
+    mesh = mesh_lib.make_mesh_for_batch(int(args_opt.get("batch_size")))
+    compute_dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
+
+    folder = os.path.join(pretrain_folder, "video_classification_frozen/")
+    if eval_tag is not None:
+        folder = os.path.join(folder, eval_tag)
+    os.makedirs(folder, exist_ok=True)
+
+    # ---- frozen encoder ---------------------------------------------------
+    enc_cfg = vit_cfg(
+        model_name,
+        img_size=resolution,
+        patch_size=patch_size,
+        num_frames=pretrain_frames_per_clip,
+        tubelet_size=tubelet_size,
+        uniform_power=uniform_power,
+        compute_dtype=compute_dtype,
+    )
+    enc_params, enc_consts = _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger)
+    is_video_encoder = pretrain_frames_per_clip > 1
+    pos_table = temporal_pos_embed_table(enc_cfg.embed_dim, tubelet_size=tubelet_size)
+
+    # ---- probe --------------------------------------------------------------
+    acfg = AttentiveCfg(
+        embed_dim=enc_cfg.embed_dim,
+        num_heads=enc_cfg.num_heads,
+        depth=1,
+        num_classes=num_classes,
+        compute_dtype=compute_dtype,
+    )
+    clf_params = init_attentive_classifier(jax.random.PRNGKey(0), acfg)
+    opt_state = init_adamw_state(clf_params)
+    wd_mask = decay_mask(clf_params)
+
+    # ---- data ----------------------------------------------------------------
+    # fixed decode canvas: short side a bit over the crop for train RRC;
+    # exactly the crop for val multi-view (see transforms.multiview_crops)
+    train_decode = (int(resolution * 256 / 224), int(resolution * 256 / 224 * 4 / 3))
+    val_decode = (resolution, int(resolution * 4 / 3))
+    train_segments = eval_num_segments if attend_across_segments else 1
+    _, train_loader, train_sampler = make_video_loader(
+        data_paths=train_data_path,
+        batch_size=batch_size,
+        frames_per_clip=eval_frames_per_clip,
+        frame_step=eval_frame_step,
+        num_clips=train_segments,
+        duration=eval_duration,
+        allow_clip_overlap=True,
+        decode_backend=decode_backend,
+        decode_size=train_decode,
+        rank=rank, world_size=world_size, num_workers=num_workers,
+        training=True,
+    )
+    _, val_loader, val_sampler = make_video_loader(
+        data_paths=val_data_path,
+        batch_size=batch_size,
+        frames_per_clip=eval_frames_per_clip,
+        frame_step=eval_frame_step,
+        num_clips=eval_num_segments,
+        duration=eval_duration,
+        allow_clip_overlap=True,
+        decode_backend=decode_backend,
+        decode_size=val_decode,
+        rank=rank, world_size=world_size, num_workers=num_workers,
+        training=False, drop_last=False,
+    )
+    ipe = len(train_loader)
+    logger.info("train iterations per epoch: %d", ipe)
+
+    lr_sched = WarmupCosine(
+        warmup_steps=int(warmup * ipe), start_lr=start_lr, ref_lr=lr,
+        final_lr=final_lr, t_max=int(num_epochs * ipe),
+    )
+    wd_sched = CosineWD(ref_wd=wd, final_wd=wd, t_max=int(num_epochs * ipe))
+
+    aug_cfg = AugmentCfg(
+        crop_size=resolution,
+        random_resize_scale=(0.08, 1.0),
+        random_resize_aspect_ratio=(0.75, 4 / 3),
+        random_horizontal_flip=False,
+        reprob=0.25,
+    )
+
+    # ---- jitted programs ------------------------------------------------------
+    def encode(clips):
+        """clips [B, S, V, T, H, W, C] -> list of aggregated feature seqs."""
+        # NOTE: the reference constructs ClipAggregation with
+        # use_pos_embed=False (eval.py:172), so the temporal pos-embed table
+        # stays unused by default; pos_table is kept for the opt-in path.
+        if is_video_encoder:
+            return clip_aggregation(
+                enc_params, enc_consts, clips, enc_cfg,
+                attend_across_segments=attend_across_segments,
+            )
+        return frame_aggregation(enc_params, enc_consts, clips, enc_cfg)
+
+    def _all_logits(clf, feats):
+        if attend_across_segments or not is_video_encoder:
+            return [classifier_forward(clf, o, acfg) for o in feats]
+        return [classifier_forward(clf, o, acfg) for views in feats for o in views]
+
+    def train_step(clf, opt, step, clips, labels):
+        clips = jax.lax.stop_gradient(clips)
+        feats = [jax.lax.stop_gradient(f) for f in encode(clips)]
+        sched_step = (step + 1).astype(jnp.float32)
+        lr_now = lr_sched(sched_step)
+        wd_now = wd_sched(sched_step)
+
+        def loss_fn(clf):
+            logits = _all_logits(clf, feats)
+            onehot = jax.nn.one_hot(labels, num_classes)
+            ce = sum(
+                -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(l), axis=-1))
+                for l in logits
+            ) / len(logits)
+            probs = sum(jax.nn.softmax(l) for l in logits) / len(logits)
+            acc = jnp.mean((jnp.argmax(probs, -1) == labels).astype(jnp.float32))
+            return ce, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(clf)
+        grads, gnorm = clip_by_global_norm(grads, 1.0, jnp.asarray(True))
+        clf, opt, _ = adamw_update(
+            clf, grads, opt, lr=lr_now, wd=wd_now, mask=wd_mask, step=sched_step
+        )
+        return clf, opt, step + 1, {"loss": loss, "acc": acc * 100.0, "lr": lr_now}
+
+    def val_step(clf, clips, labels):
+        feats = encode(clips)
+        logits = _all_logits(clf, feats)
+        probs = sum(jax.nn.softmax(l) for l in logits) / len(logits)
+        correct = jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.float32))
+        return correct
+
+    train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    val_step = jax.jit(val_step)
+    batch_sharding = mesh_lib.batch_sharding(mesh)
+
+    # ---- resume -----------------------------------------------------------
+    latest = os.path.join(folder, f"{tag}-latest")
+    start_epoch = 0
+    step = jnp.zeros((), jnp.int32)
+    probe_state = {"classifier": clf_params, "opt": opt_state, "step": step}
+    if resume_checkpoint and os.path.exists(latest):
+        probe_state, start_epoch = ckpt_lib.load_checkpoint(folder, tag, probe_state)
+    clf_params, opt_state, step = (
+        probe_state["classifier"], probe_state["opt"], probe_state["step"],
+    )
+
+    csv_logger = CSVLogger(
+        os.path.join(folder, f"{tag}_r{rank}.csv"),
+        ("%d", "epoch"), ("%.5f", "loss"), ("%.5f", "acc"),
+    )
+    aug_key = jax.random.PRNGKey(1234)
+
+    def to_views_train(np_batch, gstep):
+        clips = np_batch["clips"]  # [S*B, T, H, W, 3] uint8, clip-major
+        sb, t, h, w, c = clips.shape
+        b = sb // train_segments
+        clips = jax.device_put(jnp.asarray(clips), batch_sharding)
+        out = pretrain_augment(jax.random.fold_in(aug_key, gstep), clips, aug_cfg)
+        out = out.reshape(train_segments, b, t, resolution, resolution, c)
+        out = jnp.transpose(out, (1, 0, 2, 3, 4, 5))[:, :, None]  # [B,S,1,...]
+        return out.astype(compute_dtype)
+
+    def to_views_val(np_batch):
+        clips = np_batch["clips"]  # [S*B, T, H, W, 3]
+        sb, t, h, w, c = clips.shape
+        b = sb // eval_num_segments
+        clips = jnp.asarray(clips).reshape(eval_num_segments, b, t, h, w, c)
+        clips = jnp.transpose(clips, (1, 0, 2, 3, 4, 5))  # [B, S, T, H, W, C]
+        clips = jax.device_put(clips, batch_sharding)
+        out = multiview_crops(clips, resolution, eval_num_views_per_segment)
+        return out.astype(compute_dtype)
+
+    val_accs = []
+    for epoch in range(start_epoch, num_epochs):
+        logger.info("Epoch %d", epoch + 1)
+        train_sampler.set_epoch(epoch)
+        train_meter = AverageMeter()
+        for itr, np_batch in enumerate(train_loader):
+            clips = to_views_train(np_batch, epoch * ipe + itr)
+            labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
+            clf_params, opt_state, step, metrics = train_step(
+                clf_params, opt_state, step, clips, labels
+            )
+            train_meter.update(float(metrics["acc"]))
+            if itr % 20 == 0:
+                logger.info(
+                    "[%5d] train acc %.3f%% (loss %.3f, lr %.1e)",
+                    itr, train_meter.avg, float(metrics["loss"]), float(metrics["lr"]),
+                )
+
+        correct = total = 0.0
+        for np_batch in val_loader:
+            clips = to_views_val(np_batch)
+            labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
+            correct += float(val_step(clf_params, clips, labels))
+            total += len(np_batch["labels"])
+        val_acc = 100.0 * correct / max(1, total)
+        val_accs.append(val_acc)
+        logger.info("[%5d] train: %.3f%% test: %.3f%%", epoch + 1, train_meter.avg, val_acc)
+        csv_logger.log(epoch + 1, train_meter.avg, val_acc)
+        if rank == 0:
+            ckpt_lib.save_checkpoint(
+                folder, tag,
+                {"classifier": jax.device_get(clf_params),
+                 "opt": jax.device_get(opt_state),
+                 "step": jax.device_get(step)},
+                epoch + 1,
+            )
+    return val_accs

@@ -42,6 +42,19 @@ def make_mesh(
     return Mesh(arr, ("data", "fsdp"))
 
 
+def make_mesh_for_batch(batch_size: int, fsdp: int = 1, devices=None) -> Mesh:
+    """Mesh whose data axis divides ``batch_size`` (extra devices idle).
+
+    Production batches are device-multiple by construction; this keeps tiny
+    smoke/eval runs working on big meshes.
+    """
+    import math
+
+    devices = list(devices if devices is not None else jax.devices())
+    data = math.gcd(len(devices) // fsdp, batch_size)
+    return make_mesh(data=data, fsdp=fsdp, devices=devices[: data * fsdp])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis split over data; rest replicated."""
     return NamedSharding(mesh, P("data"))

@@ -1,0 +1,93 @@
+"""video_classification_frozen eval app: end-to-end smoke on native-decoded
+fixture videos with a tiny random encoder; mechanics + learnability."""
+
+import os
+
+import numpy as np
+import pytest
+
+videodec = pytest.importorskip("jepa_tpu.native.videodec")
+
+
+@pytest.fixture(scope="module")
+def class_videos(tmp_path_factory):
+    """Two visually distinct classes (different generator seeds)."""
+    d = tmp_path_factory.mktemp("clsvids")
+    train_rows, val_rows = [], []
+    for cls in range(2):
+        for i in range(6):
+            p = str(d / f"c{cls}_v{i}.mp4")
+            videodec.write_test_video(p, num_frames=48, width=96, height=96, seed=cls * 100)
+            (train_rows if i < 4 else val_rows).append(f"{p} {cls}")
+    train_csv = d / "train.csv"
+    val_csv = d / "val.csv"
+    train_csv.write_text("\n".join(train_rows) + "\n")
+    val_csv.write_text("\n".join(val_rows) + "\n")
+    return str(train_csv), str(val_csv)
+
+
+def _eval_cfg(train_csv, val_csv, folder, attend=True):
+    return {
+        "eval_name": "video_classification_frozen",
+        "resume_checkpoint": False,
+        "pretrain": {
+            "model_name": "vit_tiny",
+            "checkpoint_key": "target_encoder",
+            "folder": folder,
+            "checkpoint": "nonexistent-ckpt",  # random init fallback
+            "write_tag": "probe",
+            "patch_size": 16,
+            "tubelet_size": 2,
+            "frames_per_clip": 4,
+            "frame_step": 2,
+            "uniform_power": True,
+        },
+        "data": {
+            "dataset_train": train_csv,
+            "dataset_val": val_csv,
+            "num_classes": 2,
+            "frames_per_clip": 4,
+            "num_segments": 2,
+            "num_views_per_segment": 2,
+            "decode_backend": "native",
+            "num_workers": 2,
+        },
+        "optimization": {
+            "resolution": 32,
+            "batch_size": 4,
+            "attend_across_segments": attend,
+            "num_epochs": 3,
+            "weight_decay": 0.01,
+            "lr": 0.005,
+            "start_lr": 0.001,
+            "final_lr": 0.0005,
+            "warmup": 0.5,
+            "use_bfloat16": False,
+        },
+    }
+
+
+def test_eval_video_end_to_end(class_videos, tmp_path):
+    from jepa_tpu.evals.scaffold import main as eval_main
+
+    train_csv, val_csv = class_videos
+    cfg = _eval_cfg(train_csv, val_csv, str(tmp_path), attend=True)
+    val_accs = eval_main("video_classification_frozen", args_eval=cfg)
+    assert len(val_accs) == 3
+    # artifacts: probe csv + checkpoint under <folder>/video_classification_frozen/
+    sub = tmp_path / "video_classification_frozen"
+    assert (sub / "probe_r0.csv").exists()
+    assert (sub / "probe-latest").exists()
+    # classes differ by a huge constant color offset -> even a random tiny
+    # encoder + linear probe should separate them quickly
+    assert val_accs[-1] >= 75.0, f"probe failed to learn: {val_accs}"
+
+
+def test_eval_video_per_segment_mode(class_videos, tmp_path):
+    from jepa_tpu.evals.scaffold import main as eval_main
+
+    train_csv, val_csv = class_videos
+    cfg = _eval_cfg(train_csv, val_csv, str(tmp_path), attend=False)
+    cfg["optimization"]["num_epochs"] = 1
+    val_accs = eval_main("video_classification_frozen", args_eval=cfg)
+    assert len(val_accs) == 1 and np.isfinite(val_accs[0])
