@@ -87,6 +87,9 @@ def main(args: dict, resume_preempt: bool = False):
         random_resize_aspect_ratio=tuple(cfgs_aug.get("random_resize_aspect_ratio", (0.75, 1.35))),
         motion_shift=bool(cfgs_aug.get("motion_shift", False)),
         reprob=float(cfgs_aug.get("reprob", 0.0)),
+        auto_augment=(
+            "rand-m7-n4-mstd0.5-inc1" if cfgs_aug.get("auto_augment", False) else None
+        ),
     )
 
     cfgs_loss = args.get("loss", {})
@@ -111,6 +114,11 @@ def main(args: dict, resume_preempt: bool = False):
     cfgs_logging = args.get("logging", {})
     folder = cfgs_logging.get("folder", "./runs")
     tag = cfgs_logging.get("write_tag", "jepa")
+    profile_steps = cfgs_logging.get("profile_steps", None)  # e.g. [20, 25]
+    log_resources = bool(
+        cfgs_data.get("log_resource_utilization", False)
+        or cfgs_logging.get("log_resources", False)
+    )
 
     # ---- runtime --------------------------------------------------------
     world_size, rank = dist_init()
@@ -243,6 +251,24 @@ def main(args: dict, resume_preempt: bool = False):
         ("%d", "step-time(ms)"), ("%d", "wall-time(ms)"),
     )
 
+    # analytic per-step model FLOPs for live MFU (jax equivalent of the
+    # reference's CUDA-event timing + memory line, SURVEY §5.1)
+    from jepa_tpu.utils.logging import train_step_flops
+
+    step_flops = train_step_flops(
+        enc_dim=enc_cfg.embed_dim, enc_depth=enc_cfg.depth, enc_mlp=enc_cfg.mlp_ratio,
+        pred_dim=pred_cfg.predictor_embed_dim, pred_depth=pred_cfg.depth,
+        n_full=grid.n, ctx_lens=[k[0] for k in kc], tgt_lens=[k[1] for k in kc],
+        batch=batch_size * devices_per_host * num_clips, patch_dim=enc_cfg.patch_dim,
+    )
+
+    monitor = None
+    if log_resources:
+        from jepa_tpu.utils.monitoring import ResourceMonitoringThread
+
+        monitor = ResourceMonitoringThread(interval_s=30.0, log_dir=folder, rank=rank)
+        monitor.start()
+
     aug_key = jax.random.PRNGKey(seed + 11)
 
     def device_batch(np_batch, step):
@@ -266,6 +292,7 @@ def main(args: dict, resume_preempt: bool = False):
 
     # ---- loop ------------------------------------------------------------
     loader_iter = iter(loader)
+    profiling = False
     for epoch in range(start_epoch, num_epochs):
         logger.info("Epoch %d", epoch + 1)
         sampler.set_epoch(epoch)
@@ -281,12 +308,19 @@ def main(args: dict, resume_preempt: bool = False):
                 np_batch = next(loader_iter)
 
             global_step = epoch * ipe + itr
+            if profile_steps and global_step == int(profile_steps[0]):
+                jax.profiler.start_trace(os.path.join(folder, "xplane"))
+                profiling = True
             batch = device_batch(np_batch, global_step)
             t1 = time.time()
             state, metrics = step_fn(state, batch)
             metrics = jax.device_get(metrics)
             step_ms = (time.time() - t1) * 1000
             wall_ms = (time.time() - t0) * 1000
+            if profiling and global_step >= int(profile_steps[1]):
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("wrote profiler trace to %s/xplane", folder)
 
             loss = float(metrics["loss"])
             meters["loss"].update(loss)
@@ -304,16 +338,27 @@ def main(args: dict, resume_preempt: bool = False):
                 step_ms, wall_ms,
             )
             if itr % LOG_FREQ == 0 or not np.isfinite(loss):
+                mfu = step_flops / max(1e-9, meters["step_ms"].avg / 1000.0)
                 logger.info(
                     "[%d, %5d] loss: %.3f | p%.3f r%.3f | input_var: %.3f %.3f "
                     "[wd: %.2e] [lr: %.2e] [step: %.1f ms] [wall: %.1f ms] "
-                    "[m1: %.2e m2: %.2e] [g: %.2e %.2e]",
+                    "[tflops: %.1f] [m1: %.2e m2: %.2e] [g: %.2e %.2e]",
                     epoch + 1, itr, meters["loss"].avg, meters["jepa"].avg,
                     meters["reg"].avg, meters["ivar"].avg, meters["ivar_min"].avg,
                     float(metrics["wd"]), float(metrics["lr"]),
                     meters["step_ms"].avg, meters["wall_ms"].avg,
+                    mfu / 1e12,
                     float(metrics["exp_avg_abs_mean"]), float(metrics["exp_avg_sq_mean"]),
                     float(metrics["enc_grad_norm"]), float(metrics["pred_grad_norm"]),
+                )
+                logger.info(
+                    "[%d, %5d] enc_qkv_grads: f/l[%.2e %.2e] mn/mx(%.2e, %.2e) | "
+                    "pred_qkv_grads: f/l[%.2e %.2e] mn/mx(%.2e, %.2e)",
+                    epoch + 1, itr,
+                    float(metrics["enc_qkv_first"]), float(metrics["enc_qkv_last"]),
+                    float(metrics["enc_qkv_min"]), float(metrics["enc_qkv_max"]),
+                    float(metrics["pred_qkv_first"]), float(metrics["pred_qkv_last"]),
+                    float(metrics["pred_qkv_min"]), float(metrics["pred_qkv_max"]),
                 )
             assert np.isfinite(loss), "loss is nan"
 
@@ -321,4 +366,9 @@ def main(args: dict, resume_preempt: bool = False):
         if rank == 0 and (epoch % CHECKPOINT_FREQ == 0 or epoch == num_epochs - 1):
             ckpt_lib.save_checkpoint(folder, tag, jax.device_get(state), epoch + 1, save_every_freq)
 
+    if profiling:
+        jax.profiler.stop_trace()
+        logger.info("wrote profiler trace to %s/xplane", folder)
+    if monitor is not None:
+        monitor.stop()
     return state

@@ -1,0 +1,277 @@
+"""Device-side RandAugment for video clips (timm-policy parity).
+
+The reference ports timm's RandAugment to lists of PIL frames with one
+sampled op/magnitude set per clip — temporal consistency (reference:
+src/datasets/utils/video/randaugment.py:351-465, AugmentOp applies the same
+params to all frames). Here the whole policy is a jitted device program
+over [T, H, W, C] float(0..255) clips: per clip, ``num_layers`` ops are
+drawn uniformly with replacement from the 'inc1' op set, each applied with
+probability 0.5 at a gaussian-jittered magnitude (m +/- mstd), identical
+across the clip's frames — exactly the 'rand-mN-nK-mstdS-inc1' config
+family the eval probes use ('rand-m7-n4-mstd0.5-inc1',
+reference evals/video_classification_frozen/utils.py:227-231).
+
+Geometric ops (rotate/shear/translate) are bilinear affine warps with the
+PIL-style gray fill (128). Equalize uses a 256-bin histogram LUT per frame
+and channel. All ops are branchless under vmap (lax.switch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_FILL = 128.0
+
+
+# ---------------------------------------------------------------------------
+# pixel ops (clip: [T, H, W, C] float in 0..255)
+# ---------------------------------------------------------------------------
+
+
+def _blend(a, b, factor):
+    return b + (a - b) * factor
+
+
+def _gray(clip):
+    r, g, b = clip[..., 0], clip[..., 1], clip[..., 2]
+    return (0.299 * r + 0.587 * g + 0.114 * b)[..., None]
+
+
+def op_identity(clip, m):
+    return clip
+
+
+def op_invert(clip, m):
+    return 255.0 - clip
+
+
+def op_autocontrast(clip, m):
+    # per frame & channel min/max rescale
+    lo = jnp.min(clip, axis=(1, 2), keepdims=True)
+    hi = jnp.max(clip, axis=(1, 2), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
+    out = (clip - lo) * scale
+    return jnp.where(hi > lo, out, clip)
+
+
+def op_equalize(clip, m):
+    # per frame & channel histogram equalization (PIL semantics approx)
+    def eq_channel(img):  # [H, W]
+        x = jnp.clip(img, 0, 255).astype(jnp.int32)
+        hist = jnp.zeros((256,), jnp.int32).at[x.reshape(-1)].add(1)
+        # PIL: step = (total - last_nonzero_bin) // 255;
+        # lut[i] = (step//2 + exclusive_cumsum(hist)[i]) // step
+        nz = hist > 0
+        last_idx = 255 - jnp.argmax(nz[::-1])
+        step = (jnp.sum(hist) - hist[last_idx]) // 255
+        excl = jnp.cumsum(hist) - hist
+        lut = (step // 2 + excl) // jnp.maximum(step, 1)
+        lut = jnp.where(step > 0, jnp.clip(lut, 0, 255), jnp.arange(256))
+        return lut[x].astype(jnp.float32)
+
+    t, h, w, c = clip.shape
+    flat = clip.transpose(0, 3, 1, 2).reshape(t * c, h, w)
+    out = jax.vmap(eq_channel)(flat)
+    return out.reshape(t, c, h, w).transpose(0, 2, 3, 1)
+
+
+def op_posterize(clip, m):
+    # 'inc': bits = 4 - int(m/10*4) applied as PosterizeIncreasing: more
+    # magnitude -> fewer bits, min 4-4=0 -> clamp to >=1 like timm? timm
+    # PosterizeIncreasing: 4 - _round(m/10*4), can hit 0 (image -> 0)
+    bits = 4 - jnp.round(m / 10.0 * 4.0)
+    shift = jnp.clip(8.0 - (4.0 + bits), 0.0, 8.0)  # keep (4+bits) MSBs
+    q = 2.0 ** shift
+    return jnp.floor(jnp.clip(clip, 0, 255) / q) * q
+
+
+def op_solarize(clip, m):
+    thresh = 256.0 - m / 10.0 * 256.0
+    return jnp.where(clip < thresh, clip, 255.0 - clip)
+
+
+def op_solarize_add(clip, m):
+    add = m / 10.0 * 110.0
+    return jnp.where(clip < 128.0, jnp.clip(clip + add, 0, 255), clip)
+
+
+def _enhance_factor(m):
+    # timm increasing enhance: factor = 1 + sign * m/10 * 0.9
+    return 1.0 + (m / 10.0) * 0.9
+
+
+def op_color(clip, m, sign):
+    return _blend(clip, _gray(clip), 1.0 + sign * (m / 10.0) * 0.9)
+
+
+def op_contrast(clip, m, sign):
+    mean = jnp.mean(_gray(clip), axis=(1, 2, 3), keepdims=True)
+    return _blend(clip, mean, 1.0 + sign * (m / 10.0) * 0.9)
+
+
+def op_brightness(clip, m, sign):
+    return _blend(clip, jnp.zeros_like(clip), 1.0 + sign * (m / 10.0) * 0.9)
+
+
+def op_sharpness(clip, m, sign):
+    # PIL SMOOTH kernel [[1,1,1],[1,5,1],[1,1,1]]/13, borders unfiltered
+    k = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    pad = jnp.pad(clip, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    sm = sum(
+        k[i, j] * pad[:, i : i + clip.shape[1], j : j + clip.shape[2], :]
+        for i in range(3)
+        for j in range(3)
+    )
+    # keep borders unfiltered (PIL behavior)
+    t, h, w, c = clip.shape
+    yy = jnp.arange(h)[None, :, None, None]
+    xx = jnp.arange(w)[None, None, :, None]
+    interior = (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
+    sm = jnp.where(interior, sm, clip)
+    return _blend(clip, sm, 1.0 + sign * (m / 10.0) * 0.9)
+
+
+# ---------------------------------------------------------------------------
+# geometric ops (affine warp, bilinear, gray fill)
+# ---------------------------------------------------------------------------
+
+
+def _affine_sample(clip, a, b, c, d, e, f):
+    """x_src = a*x + b*y + c;  y_src = d*x + e*y + f  (PIL convention)."""
+    t, h, w, ch = clip.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    sx = a * xx + b * yy + c
+    sy = d * xx + e * yy + f
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    valid = (sx >= -1) & (sx <= w) & (sy >= -1) & (sy <= h)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    def warp_frame(fr):
+        c00 = fr[y0i, x0i]
+        c01 = fr[y0i, x1i]
+        c10 = fr[y1i, x0i]
+        c11 = fr[y1i, x1i]
+        top = c00 * (1 - wx)[..., None] + c01 * wx[..., None]
+        bot = c10 * (1 - wx)[..., None] + c11 * wx[..., None]
+        out = top * (1 - wy)[..., None] + bot * wy[..., None]
+        return jnp.where(valid[..., None], out, _FILL)
+
+    return jax.vmap(warp_frame)(clip)
+
+
+def op_rotate(clip, m, sign):
+    deg = sign * m / 10.0 * 30.0
+    rad = jnp.deg2rad(deg)
+    t, h, w, _ = clip.shape
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    # rotate about center
+    a, b = cos, -sin
+    d, e = sin, cos
+    c = cx - a * cx - b * cy
+    f = cy - d * cx - e * cy
+    return _affine_sample(clip, a, b, c, d, e, f)
+
+
+def op_shear_x(clip, m, sign):
+    s = sign * m / 10.0 * 0.3
+    return _affine_sample(clip, 1.0, s, 0.0, 0.0, 1.0, 0.0)
+
+
+def op_shear_y(clip, m, sign):
+    s = sign * m / 10.0 * 0.3
+    return _affine_sample(clip, 1.0, 0.0, 0.0, s, 1.0, 0.0)
+
+
+def op_translate_x(clip, m, sign):
+    t = sign * m / 10.0 * 0.45 * clip.shape[2]
+    return _affine_sample(clip, 1.0, 0.0, t, 0.0, 1.0, 0.0)
+
+
+def op_translate_y(clip, m, sign):
+    t = sign * m / 10.0 * 0.45 * clip.shape[1]
+    return _affine_sample(clip, 1.0, 0.0, 0.0, 0.0, 1.0, t)
+
+
+# signed ops consume a random direction; unsigned ignore it
+_OPS = [
+    ("AutoContrast", lambda c, m, s: op_autocontrast(c, m)),
+    ("Equalize", lambda c, m, s: op_equalize(c, m)),
+    ("Invert", lambda c, m, s: op_invert(c, m)),
+    ("Rotate", op_rotate),
+    ("Posterize", lambda c, m, s: op_posterize(c, m)),
+    ("Solarize", lambda c, m, s: op_solarize(c, m)),
+    ("SolarizeAdd", lambda c, m, s: op_solarize_add(c, m)),
+    ("Color", op_color),
+    ("Contrast", op_contrast),
+    ("Brightness", op_brightness),
+    ("Sharpness", op_sharpness),
+    ("ShearX", op_shear_x),
+    ("ShearY", op_shear_y),
+    ("TranslateX", op_translate_x),
+    ("TranslateY", op_translate_y),
+]
+OP_NAMES = [n for n, _ in _OPS]
+
+
+@dataclasses.dataclass(frozen=True)
+class RandAugmentCfg:
+    magnitude: float = 7.0
+    num_layers: int = 4
+    mstd: float = 0.5
+    prob: float = 0.5
+
+    @staticmethod
+    def from_string(spec: str) -> "RandAugmentCfg":
+        """Parse 'rand-m7-n4-mstd0.5-inc1' (timm config string)."""
+        m, n, mstd = 10.0, 2, 0.0
+        for part in spec.split("-")[1:]:
+            if part.startswith("mstd"):
+                mstd = float(part[4:])
+            elif part.startswith("m"):
+                m = float(part[1:])
+            elif part.startswith("n"):
+                n = int(part[1:])
+            elif part.startswith("inc"):
+                pass  # increasing severity is the only mode implemented
+            elif part.startswith("p"):
+                pass
+        return RandAugmentCfg(magnitude=m, num_layers=n, mstd=mstd)
+
+
+def randaugment_clip(rng, clip, cfg: RandAugmentCfg):
+    """One clip [T, H, W, C] float 0..255 -> augmented, same params for all
+    frames (temporal consistency)."""
+
+    def layer(i, carry):
+        clip = carry
+        k = jax.random.fold_in(rng, i)
+        k_op, k_apply, k_mag, k_sign = jax.random.split(k, 4)
+        op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
+        mag = cfg.magnitude + cfg.mstd * jax.random.normal(k_mag)
+        mag = jnp.clip(mag, 0.0, 10.0)
+        sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
+        branches = [partial(lambda c, f: f(c, mag, sign), f=fn) for _, fn in _OPS]
+        out = jax.lax.switch(op_idx, branches, clip)
+        apply = jax.random.bernoulli(k_apply, cfg.prob)
+        return jnp.where(apply, jnp.clip(out, 0.0, 255.0), clip)
+
+    return jax.lax.fori_loop(0, cfg.num_layers, layer, clip)
+
+
+def randaugment_batch(rng, clips, cfg: RandAugmentCfg):
+    """[B, T, H, W, C] float 0..255, per-clip independent policies."""
+    keys = jax.random.split(rng, clips.shape[0])
+    return jax.vmap(lambda k, c: randaugment_clip(k, c, cfg))(keys, clips)

@@ -43,6 +43,8 @@ class AugmentCfg:
     random_horizontal_flip: bool = True
     motion_shift: bool = False
     reprob: float = 0.0
+    # timm RandAugment config string (e.g. 'rand-m7-n4-mstd0.5-inc1') or None
+    auto_augment: Optional[str] = None
     normalize_mean: Tuple[float, float, float] = IMAGENET_MEAN
     normalize_std: Tuple[float, float, float] = IMAGENET_STD
 
@@ -172,6 +174,12 @@ def pretrain_augment(rng, clips_uint8, cfg: AugmentCfg):
     b = clips_uint8.shape[0]
     x = clips_uint8.astype(jnp.float32)
     keys = jax.random.split(rng, b)
+
+    if cfg.auto_augment:
+        from jepa_tpu.data.randaugment import RandAugmentCfg, randaugment_batch
+
+        ra_cfg = RandAugmentCfg.from_string(cfg.auto_augment)
+        x = randaugment_batch(jax.random.fold_in(rng, 999), x, ra_cfg)
 
     def per_sample(key, clip):
         k_crop, k_flip, k_erase = jax.random.split(key, 3)

@@ -131,6 +131,9 @@ def main(args_eval: dict, resume_preempt: bool = False):
         random_resize_aspect_ratio=(3 / 4, 4 / 3),
         random_horizontal_flip=True,
         reprob=0.25,
+        # reference uses timm auto-augment 'original' (eval.py:396); the
+        # rand policy is the closest device-native equivalent
+        auto_augment="rand-m7-n4-mstd0.5-inc1",
     )
 
     def encode_images(images):

@@ -194,6 +194,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
         random_resize_aspect_ratio=(0.75, 4 / 3),
         random_horizontal_flip=False,
         reprob=0.25,
+        auto_augment="rand-m7-n4-mstd0.5-inc1",  # reference utils.py:227-231
     )
 
     # ---- jitted programs ------------------------------------------------------

@@ -177,6 +177,23 @@ def build_train_step(
             state["params"]
         )
 
+        def qkv_grad_stats(g_blocks, prefix):
+            """Per-layer qkv grad norms (reference grad_logger,
+            src/utils/logging.py:91-105): first/last layer + min/max."""
+            qkv = g_blocks["attn"]["qkv_w"].astype(jnp.float32)
+            norms = jnp.sqrt(jnp.sum(jnp.square(qkv), axis=(1, 2)))
+            return {
+                f"{prefix}_qkv_first": norms[0],
+                f"{prefix}_qkv_last": norms[-1],
+                f"{prefix}_qkv_min": jnp.min(norms),
+                f"{prefix}_qkv_max": jnp.max(norms),
+            }
+
+        grad_stats = {
+            **qkv_grad_stats(grads["encoder"]["blocks"], "enc"),
+            **qkv_grad_stats(grads["predictor"]["blocks"], "pred"),
+        }
+
         clip_on = jnp.asarray(step >= train_cfg.clip_after_step)
         if train_cfg.clip_grad is not None:
             g_enc, enc_norm = clip_by_global_norm(
@@ -228,6 +245,7 @@ def build_train_step(
             "input_var": jnp.mean(input_var),
             "input_var_min": jnp.min(input_var),
             **opt_stats,
+            **grad_stats,
         }
         return new_state, metrics
 
