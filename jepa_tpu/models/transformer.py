@@ -25,6 +25,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from jepa_tpu.models.initializers import layernorm_init, linear_init, residual_rescale
@@ -91,7 +92,10 @@ def self_attention(x, p, cfg: BlockCfg, kv_mask=None):
 def block_forward(x, p, cfg: BlockCfg, kv_mask=None):
     """Pre-LN transformer block: x + attn(ln1 x); x + mlp(ln2 x)."""
     y = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
-    x = x + self_attention(y, p["attn"], cfg, kv_mask=kv_mask)
+    attn_out = self_attention(y, p["attn"], cfg, kv_mask=kv_mask)
+    # named for the selective remat policy (save attention, recompute MLP)
+    attn_out = jax.ad_checkpoint.checkpoint_name(attn_out, "attn_out")
+    x = x + attn_out
     y = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
     return x + mlp(y, p["mlp"], cfg)
 
@@ -102,6 +106,11 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, re
     x: [B, N, D] (cast to compute dtype inside). When ``collect_layers`` is
     true, also returns the per-layer outputs [depth, B, N, D] (for the
     reference's ``out_layers`` feature).
+
+    remat: False | True/'full' (recompute everything in bwd) | 'attn'
+    (selective: save per-layer attention outputs, recompute LN/MLP — skips
+    re-running the flash kernel in the backward pass at ~2 extra bytes/
+    token/layer of HBM).
     """
     x = x.astype(cfg.compute_dtype)
 
@@ -109,7 +118,12 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, re
         out = block_forward(carry, layer_params, cfg, kv_mask=kv_mask)
         return out, (out if collect_layers else None)
 
-    if remat:
+    if remat == "attn":
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
+    elif remat:
         body = jax.checkpoint(body)
     final, layers = jax.lax.scan(body, x, stacked)
     return (final, layers) if collect_layers else (final, None)
