@@ -13,10 +13,15 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PEAK_BF16 = {
     "v5e": 197e12,

@@ -130,7 +130,10 @@ def main(args: dict, resume_preempt: bool = False):
 
     devices_per_host = jax.local_device_count()
     global_batch = batch_size * world_size * devices_per_host
-    mesh = mesh_lib.make_mesh()
+    # meta.fsdp > 1 shards the optimizer moments over an fsdp mesh axis
+    # (ZeRO-1-style) for models whose opt state won't fit replicated
+    fsdp = int(cfgs_meta.get("fsdp", 1))
+    mesh = mesh_lib.make_mesh(fsdp=fsdp)
 
     # ---- model ----------------------------------------------------------
     enc_cfg = vit_cfg(
@@ -224,15 +227,17 @@ def main(args: dict, resume_preempt: bool = False):
         betas=betas, eps=eps, num_clips=num_clips,
         batch_size=batch_size, mask_mode=mask_mode, seed=seed,
     )
+    state_shardings = mesh_lib.train_state_shardings(mesh, state)
     step_fn = jax.jit(
         build_train_step(
             enc_cfg, pred_cfg, consts, train_cfg,
             lr_sched, wd_sched, mom_sched, specs, grid, kc,
         ),
         donate_argnums=(0,),
+        out_shardings=(state_shardings, None),
     )
     batch_sharding = mesh_lib.batch_sharding(mesh)
-    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    state = jax.device_put(state, state_shardings)
 
     # ---- resume ----------------------------------------------------------
     start_epoch = 0

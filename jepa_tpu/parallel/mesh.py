@@ -64,12 +64,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def train_state_shardings(mesh: Mesh, state, min_size_to_shard: int = 2**20):
+    """Shardings for the fused-step train state: params/target/step
+    replicated (DP), optimizer moments sharded over 'fsdp' (ZeRO-1-style —
+    the update math runs sharded and XLA all-gathers the fp32 params it
+    produces). With fsdp=1 everything is replicated.
+    """
+    rep = replicated(mesh)
+    return {
+        "step": rep,
+        "params": jax.tree.map(lambda _: rep, state["params"]),
+        "target": jax.tree.map(lambda _: rep, state["target"]),
+        "opt": param_sharding(mesh, state["opt"], min_size_to_shard),
+    }
+
+
 def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2**20):
     """FSDP-ish sharding: shard the largest axis of big leaves over 'fsdp'.
 
     With fsdp=1 (default) this degenerates to full replication.
     """
-    if mesh.shape["fsdp"] == 1:
+    if "fsdp" not in mesh.shape or mesh.shape["fsdp"] == 1:
         return jax.tree.map(lambda _: replicated(mesh), params)
 
     def rule(leaf):

@@ -150,6 +150,36 @@ def test_train_step_padded_mode():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_train_step_fsdp_opt_sharding_matches():
+    """dp x fsdp mesh with ZeRO-sharded optimizer == plain replicated run."""
+    from jepa_tpu.parallel.mesh import train_state_shardings
+
+    mesh = make_mesh(fsdp=2)  # 4 x 2 over the 8 virtual devices
+    state, fn = _setup(batch=8)
+    clips = jax.random.normal(jax.random.PRNGKey(4), (8, 4, 16, 16, 3))
+    ref_state, ref_metrics = jax.jit(fn)(state, {"clips": clips})
+
+    shardings = train_state_shardings(mesh, state, min_size_to_shard=1024)
+    state_sh = jax.device_put(state, shardings)
+    clips_sh = jax.device_put(clips, batch_sharding(mesh))
+    out_state, metrics = jax.jit(fn, out_shardings=(shardings, None))(
+        state_sh, {"clips": clips_sh}
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(out_state["opt"]["mu"]), jax.tree.leaves(ref_state["opt"]["mu"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # opt moments actually sharded over fsdp for sizable leaves
+    assert any(
+        "fsdp" in str(l.sharding.spec)
+        for l in jax.tree.leaves(out_state["opt"]["mu"])
+        if l.size >= 1024
+    )
+
+
 def test_train_step_sharded_matches_single():
     mesh = make_mesh()  # 8 virtual CPU devices, data axis
     assert mesh.shape["data"] == 8
