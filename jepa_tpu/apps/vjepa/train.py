@@ -50,6 +50,7 @@ def main(args: dict, resume_preempt: bool = False):
     r_file = cfgs_meta.get("read_checkpoint", None)
     seed = int(cfgs_meta.get("seed", 0))
     save_every_freq = int(cfgs_meta.get("save_every_freq", -1))
+    export_torch = bool(cfgs_meta.get("export_torch_checkpoint", False))
     which_dtype = str(cfgs_meta.get("dtype", "bfloat16")).lower()
     compute_dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.bfloat16, "float32": jnp.float32}[which_dtype]
     mask_mode = cfgs_meta.get("mask_mode", "fixed")  # jepa_tpu extension
@@ -370,6 +371,20 @@ def main(args: dict, resume_preempt: bool = False):
         logger.info("avg. loss %.3f", meters["loss"].avg)
         if rank == 0 and (epoch % CHECKPOINT_FREQ == 0 or epoch == num_epochs - 1):
             ckpt_lib.save_checkpoint(folder, tag, jax.device_get(state), epoch + 1, save_every_freq)
+            if export_torch:
+                # reference-compatible .pth.tar so original-framework users
+                # can consume jepa_tpu pretrained weights directly
+                from jepa_tpu.utils.checkpoint_port import save_torch_checkpoint
+
+                host = jax.device_get(state)
+                save_torch_checkpoint(
+                    os.path.join(folder, f"{tag}-latest.pth.tar"),
+                    encoder=(host["params"]["encoder"], consts["encoder"]),
+                    target_encoder=(host["target"], consts["encoder"]),
+                    epoch=epoch + 1,
+                    cfg=enc_cfg,
+                    extra={"batch_size": batch_size, "world_size": world_size, "lr": lr},
+                )
 
     if profiling:
         jax.profiler.stop_trace()

@@ -132,8 +132,11 @@ def main(args_eval: dict, resume_preempt: bool = False):
         random_horizontal_flip=True,
         reprob=0.25,
         # reference uses timm auto-augment 'original' (eval.py:396); the
-        # rand policy is the closest device-native equivalent
-        auto_augment="rand-m7-n4-mstd0.5-inc1",
+        # rand policy is the closest device-native equivalent;
+        # data.auto_augment=false opts out
+        auto_augment=(
+            "rand-m7-n4-mstd0.5-inc1" if args_data.get("auto_augment", True) else None
+        ),
     )
 
     def encode_images(images):

@@ -194,7 +194,11 @@ def main(args_eval: dict, resume_preempt: bool = False):
         random_resize_aspect_ratio=(0.75, 4 / 3),
         random_horizontal_flip=False,
         reprob=0.25,
-        auto_augment="rand-m7-n4-mstd0.5-inc1",  # reference utils.py:227-231
+        # reference hardcodes auto-augment for probe training
+        # (utils.py:227-231); data.auto_augment=false opts out
+        auto_augment=(
+            "rand-m7-n4-mstd0.5-inc1" if args_data.get("auto_augment", True) else None
+        ),
     )
 
     # ---- jitted programs ------------------------------------------------------

@@ -17,7 +17,7 @@ Layout transforms:
 from __future__ import annotations
 
 import logging
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -148,6 +148,71 @@ def port_attentive_classifier(sd: Dict, cfg) -> dict:
         "pooler": pooler,
         "linear": {k: jnp.asarray(v) for k, v in _linear(sd, "linear").items()},
     }
+
+
+def export_encoder(params, consts, cfg: ViTCfg) -> Dict[str, "np.ndarray"]:
+    """jepa_tpu encoder pytree -> reference-named torch-style state_dict.
+
+    Inverse of `port_encoder`: reference users can consume jepa_tpu
+    pretrained weights in the original framework. Returns numpy arrays in
+    torch layouts ([out, in] linears, [D, C, t, p, p] conv kernel).
+    """
+    out: Dict[str, np.ndarray] = {}
+    w = np.asarray(params["patch_embed"]["w"], np.float32)  # [patch_dim, D]
+    if cfg.is_video:
+        kshape = (cfg.embed_dim, cfg.in_chans, cfg.tubelet_size, cfg.patch_size, cfg.patch_size)
+    else:
+        kshape = (cfg.embed_dim, cfg.in_chans, cfg.patch_size, cfg.patch_size)
+    out["patch_embed.proj.weight"] = w.T.reshape(kshape)
+    out["patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["b"], np.float32)
+    out["pos_embed"] = np.asarray(consts["pos_embed"], np.float32)[None]
+
+    blocks = params["blocks"]
+    depth = int(np.asarray(blocks["ln1"]["scale"]).shape[0])
+    for i in range(depth):
+        p = f"blocks.{i}"
+        get = lambda tree: np.asarray(tree, np.float32)[i]
+        out[f"{p}.norm1.weight"] = get(blocks["ln1"]["scale"])
+        out[f"{p}.norm1.bias"] = get(blocks["ln1"]["bias"])
+        out[f"{p}.attn.qkv.weight"] = get(blocks["attn"]["qkv_w"]).T
+        out[f"{p}.attn.qkv.bias"] = get(blocks["attn"]["qkv_b"])
+        out[f"{p}.attn.proj.weight"] = get(blocks["attn"]["proj_w"]).T
+        out[f"{p}.attn.proj.bias"] = get(blocks["attn"]["proj_b"])
+        out[f"{p}.norm2.weight"] = get(blocks["ln2"]["scale"])
+        out[f"{p}.norm2.bias"] = get(blocks["ln2"]["bias"])
+        out[f"{p}.mlp.fc1.weight"] = get(blocks["mlp"]["fc1_w"]).T
+        out[f"{p}.mlp.fc1.bias"] = get(blocks["mlp"]["fc1_b"])
+        out[f"{p}.mlp.fc2.weight"] = get(blocks["mlp"]["fc2_w"]).T
+        out[f"{p}.mlp.fc2.bias"] = get(blocks["mlp"]["fc2_b"])
+    out["norm.weight"] = np.asarray(params["norm"]["scale"], np.float32)
+    out["norm.bias"] = np.asarray(params["norm"]["bias"], np.float32)
+    return out
+
+
+def save_torch_checkpoint(path: str, *, encoder=None, target_encoder=None,
+                          predictor=None, epoch: int = 0, cfg: ViTCfg = None,
+                          extra: Optional[Dict] = None):
+    """Write a reference-compatible .pth.tar (torch.save dict with
+    encoder/target_encoder state_dicts) from jepa_tpu pytrees.
+
+    encoder/target_encoder: (params, consts) tuples.
+    """
+    import torch
+
+    ckpt: Dict = {"epoch": epoch}
+    if encoder is not None:
+        ckpt["encoder"] = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in export_encoder(*encoder, cfg).items()
+        }
+    if target_encoder is not None:
+        ckpt["target_encoder"] = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in export_encoder(*target_encoder, cfg).items()
+        }
+    if extra:
+        ckpt.update(extra)
+    torch.save(ckpt, path)
 
 
 def load_pretrained_encoder(path: str, cfg: ViTCfg, checkpoint_key: str = "target_encoder"):

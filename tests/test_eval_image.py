@@ -56,6 +56,7 @@ def test_image_eval_end_to_end(image_root, tmp_path):
             "num_classes": 2,
             "resolution": 32,
             "num_workers": 2,
+            "auto_augment": False,  # brightness-separable fixtures
         },
         "optimization": {
             "batch_size": 4,

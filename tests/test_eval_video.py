@@ -51,6 +51,9 @@ def _eval_cfg(train_csv, val_csv, folder, attend=True):
             "num_views_per_segment": 2,
             "decode_backend": "native",
             "num_workers": 2,
+            # the fixture classes are color-separable; RandAugment's
+            # invert/solarize would scramble them (flaky learnability)
+            "auto_augment": False,
         },
         "optimization": {
             "resolution": 32,
