@@ -37,7 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 _LANES = 128
 _SUBLANES = 8
-DEFAULT_BLOCK_Q = 256
+# 512/512 won the on-chip sweep at V-JEPA shapes (1568-2048 tokens):
+# bigger tiles beat lower k-padding; 128-blocks lose 2.3x to loop overhead.
+DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 
 
