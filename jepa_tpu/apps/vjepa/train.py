@@ -299,6 +299,18 @@ def main(args: dict, resume_preempt: bool = False):
     # ---- loop ------------------------------------------------------------
     loader_iter = iter(loader)
     profiling = False
+    skip_batches = int(cfgs_meta.get("skip_batches", -1))
+    if skip_batches > 0:
+        logger.info("Skip %d batches", skip_batches)
+        sampler.set_epoch(start_epoch)
+        for itr in range(skip_batches):
+            if itr % 10 == 0:
+                logger.info("Skip %d/%d batches", itr, skip_batches)
+            try:
+                next(loader_iter)
+            except StopIteration:
+                loader_iter = iter(loader)
+                next(loader_iter)
     for epoch in range(start_epoch, num_epochs):
         logger.info("Epoch %d", epoch + 1)
         sampler.set_epoch(epoch)
