@@ -105,6 +105,24 @@ def main():
 
     batch, dt = result
     clips_per_sec = batch / dt
+
+    # secondary metric: frozen-encoder encode throughput (the eval path,
+    # BASELINE.json "clips/sec/chip for ViT-L/H encode")
+    from jepa_tpu.models.vit import init_vit, vit_forward
+
+    ep, ec = init_vit(jax.random.PRNGKey(2), enc_cfg)
+    enc_fn = jax.jit(lambda p, c, x: vit_forward(p, c, x, enc_cfg))
+    ex = jax.random.normal(jax.random.PRNGKey(3), (batch, frames, crop, crop, 3), jnp.bfloat16)
+    o = enc_fn(ep, ec, ex)
+    _ = float(jnp.sum(o.astype(jnp.float32)))  # host readback = hard sync
+    encode_iters = 2 if on_cpu else 10
+    t0 = time.perf_counter()
+    for i in range(encode_iters):
+        # vary input so the axon runtime can't serve cached results
+        o = enc_fn(ep, ec, ex + jnp.bfloat16(i * 1e-3))
+    _ = float(jnp.sum(o.astype(jnp.float32)))
+    encode_dt = (time.perf_counter() - t0) / encode_iters
+    encode_clips_per_sec = batch / encode_dt
     flops = train_step_flops(
         enc_dim=enc_cfg.embed_dim, enc_depth=enc_cfg.depth, enc_mlp=enc_cfg.mlp_ratio,
         pred_dim=pred_cfg.predictor_embed_dim, pred_depth=pred_cfg.depth,
@@ -123,6 +141,7 @@ def main():
                     "step_ms": round(dt * 1000, 2),
                     "batch_per_chip": batch,
                     "mfu": round(mfu, 4),
+                    "encode_clips_per_sec_per_chip": round(encode_clips_per_sec, 2),
                     "device": str(jax.devices()[0].device_kind),
                 },
             }
