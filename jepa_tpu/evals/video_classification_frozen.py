@@ -49,7 +49,9 @@ from jepa_tpu.utils.schedulers import CosineWD, WarmupCosine
 def _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger):
     """Ported torch zoo checkpoint (.pth.tar) or jepa_tpu orbax run dir."""
     if pretrained_path.endswith((".pth.tar", ".pth", ".pt")):
-        return load_pretrained_encoder(pretrained_path, enc_cfg, checkpoint_key)
+        return load_pretrained_encoder(
+            pretrained_path, enc_cfg, checkpoint_key, tolerant=True
+        )
     # orbax checkpoint from jepa_tpu pretraining: restore target encoder
     params, consts = init_vit(jax.random.PRNGKey(0), enc_cfg)
     state = {

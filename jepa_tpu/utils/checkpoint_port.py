@@ -215,11 +215,39 @@ def save_torch_checkpoint(path: str, *, encoder=None, target_encoder=None,
     torch.save(ckpt, path)
 
 
-def load_pretrained_encoder(path: str, cfg: ViTCfg, checkpoint_key: str = "target_encoder"):
+def tolerant_merge(ported, reference_init, label="encoder"):
+    """Reference-style tolerant loading (eval.py:428-434): keep the ported
+    leaf when shape matches, otherwise log and keep the initialized leaf."""
+    import jax
+
+    def merge(path, init_leaf, ported_leaf):
+        if ported_leaf is None:
+            logger.info("%s: key %s missing in checkpoint; keeping init", label, path)
+            return init_leaf
+        if tuple(ported_leaf.shape) != tuple(init_leaf.shape):
+            logger.info(
+                "%s: key %s shape %s != model %s; keeping init",
+                label, path, tuple(ported_leaf.shape), tuple(init_leaf.shape),
+            )
+            return init_leaf
+        return ported_leaf
+
+    return jax.tree_util.tree_map_with_path(merge, reference_init, ported)
+
+
+def load_pretrained_encoder(
+    path: str,
+    cfg: ViTCfg,
+    checkpoint_key: str = "target_encoder",
+    tolerant: bool = False,
+):
     """Load a reference .pth.tar and port the encoder.
 
     Follows the reference's key scheme: try ``checkpoint_key``, fall back to
-    ``encoder`` (reference eval.py:420-427).
+    ``encoder`` (reference eval.py:420-427). With ``tolerant=True``,
+    missing/mismatched leaves keep a fresh initialization instead of
+    raising (reference eval.py:428-434) — e.g. loading a 224px checkpoint
+    into a different-resolution model keeps the interpolatable pos-embed.
     """
     import torch
 
@@ -231,4 +259,18 @@ def load_pretrained_encoder(path: str, cfg: ViTCfg, checkpoint_key: str = "targe
         sd = ckpt["encoder"]
     else:
         sd = ckpt  # raw state_dict
-    return port_encoder(sd, cfg)
+    if not tolerant:
+        return port_encoder(sd, cfg)
+    import jax
+
+    from jepa_tpu.models.vit import init_vit
+
+    init_params, init_consts = init_vit(jax.random.PRNGKey(0), cfg)
+    try:
+        params, consts = port_encoder(sd, cfg)
+    except KeyError as e:
+        logger.warning("tolerant load: porter failed on %s; using init", e)
+        return init_params, init_consts
+    params = tolerant_merge(params, init_params)
+    consts = tolerant_merge(consts, init_consts, label="consts")
+    return params, consts
