@@ -24,7 +24,7 @@ import dataclasses
 import logging
 import os
 import warnings
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

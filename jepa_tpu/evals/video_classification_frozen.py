@@ -16,8 +16,6 @@ is shared and cached across both programs' compilations.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,8 +14,6 @@ Note the reference builds the probe with torch's default LayerNorm eps
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

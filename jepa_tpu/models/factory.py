@@ -9,8 +9,6 @@ here for checkpoint-porting awareness.)
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from jepa_tpu.models.predictor import PredictorCfg

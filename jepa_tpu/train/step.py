@@ -19,13 +19,13 @@ Masking modes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from jepa_tpu.masks.multiblock3d import MaskGrid, MaskSpec, sample_masks_for_specs
-from jepa_tpu.masks.random_tube import TubeSpec, sample_tube_masks
+from jepa_tpu.masks.random_tube import sample_tube_masks
 from jepa_tpu.models.predictor import PredictorCfg, init_predictor, predictor_forward
 from jepa_tpu.models.vit import ViTCfg, init_vit, vit_forward
 from jepa_tpu.ops.masking import repeat_interleave_batch

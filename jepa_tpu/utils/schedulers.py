@@ -16,7 +16,6 @@ before computing. So ``lr_at(i + 1)`` here reproduces the lr used for update
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Tuple
 
 import jax.numpy as jnp
