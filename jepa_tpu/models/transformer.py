@@ -118,13 +118,16 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, re
         out = block_forward(carry, layer_params, cfg, kv_mask=kv_mask)
         return out, (out if collect_layers else None)
 
+    # prevent_cse=False is safe (and recommended) under scan and measured
+    # ~7% faster f+b on-chip than the default CSE barrier.
     if remat == "attn":
         body = jax.checkpoint(
             body,
+            prevent_cse=False,
             policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
         )
     elif remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, prevent_cse=False)
     final, layers = jax.lax.scan(body, x, stacked)
     return (final, layers) if collect_layers else (final, None)
 
