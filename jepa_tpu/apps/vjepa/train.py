@@ -162,8 +162,15 @@ def main(args: dict, resume_preempt: bool = False):
     grid = MaskGrid.from_data_cfg(crop_size, patch_size, num_frames, tubelet_size)
     mask_type = cfgs_data.get("mask_type", "multiblock3d")
     if mask_type == "multiblock3d":
+        from jepa_tpu.masks.multiblock3d import calibrate_keep_counts
+
         specs = [MaskSpec.from_cfg(m) for m in cfgs_mask]
-        kc = [resolve_keep_counts(s, grid) for s in specs]
+        # calibrate fixed-mode K against the reference's batch-min effective
+        # shapes at the actual per-host batch size
+        kc = [
+            calibrate_keep_counts(s, grid, batch_size * devices_per_host)
+            for s in specs
+        ]
         host_collator = MB3DCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
     else:
         specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]

@@ -115,6 +115,34 @@ def resolve_keep_counts(spec: MaskSpec, grid: MaskGrid) -> Tuple[int, int]:
     return k_enc, k_pred
 
 
+def calibrate_keep_counts(
+    spec: MaskSpec, grid: MaskGrid, batch_size: int, iters: int = 25, seed: int = 1234
+) -> Tuple[int, int]:
+    """(K_enc, K_pred) calibrated against the reference distribution.
+
+    The reference truncates every sample to the BATCH-MIN context/target
+    size (multiblock3d.py:194-201), so its effective K depends on the batch
+    size and sits well below the analytic expected union (e.g. short-range
+    at B=4: union mean 1141 but batch-min mean ~898 of 1568). This runs the
+    host parity generator for a few deterministic iterations at the actual
+    batch size and takes the empirical means — the fixed-K analogue of the
+    reference's effective shapes.
+    """
+    gen = HostMaskGenerator(spec, grid, seed=seed)
+    enc_sizes, pred_sizes = [], []
+    for _ in range(iters):
+        enc, pred = gen(batch_size)
+        enc_sizes.append(enc.shape[1])
+        pred_sizes.append(pred.shape[1])
+    k_enc = int(round(float(np.mean(enc_sizes))))
+    k_pred = int(round(float(np.mean(pred_sizes))))
+    k_enc = max(1, min(k_enc, grid.n - 1))
+    k_pred = max(1, min(k_pred, grid.n - 1))
+    if spec.max_keep is not None:
+        k_enc = min(k_enc, int(spec.max_keep))
+    return k_enc, k_pred
+
+
 def _sample_block_size(rng, spec: MaskSpec, grid: MaskGrid):
     """Per-step block geometry (t, h, w) in tokens; traced, shared across batch.
 
