@@ -45,7 +45,11 @@ def detect_peak() -> float:
 
 
 def main():
-    from jepa_tpu.masks.multiblock3d import MaskGrid, MaskSpec, resolve_keep_counts
+    from jepa_tpu.masks.multiblock3d import (
+        MaskGrid,
+        MaskSpec,
+        calibrate_keep_counts,
+    )
     from jepa_tpu.models.factory import predictor_cfg_for, vit_cfg
     from jepa_tpu.train.step import TrainCfg, build_train_step, init_train_state
     from jepa_tpu.utils.logging import train_step_flops
@@ -67,7 +71,9 @@ def main():
         MaskSpec(num_blocks=8, spatial_scale=(0.15, 0.15), aspect_ratio=(0.75, 1.5)),
         MaskSpec(num_blocks=2, spatial_scale=(0.7, 0.7), aspect_ratio=(0.75, 1.5)),
     ]
-    kc = [resolve_keep_counts(s, grid) for s in specs]
+    # effective shapes calibrated to the reference's batch-min distribution
+    # (what production pretraining actually runs)
+    kc = [calibrate_keep_counts(s, grid, batch_candidates[0]) for s in specs]
     lr_s, wd_s, mom_s = build_schedules(
         ipe=300, num_epochs=300, warmup_epochs=40, start_lr=2e-4, ref_lr=6.25e-4,
         final_lr=1e-6, wd=0.04, final_wd=0.4, ema=(0.998, 1.0), ipe_scale=1.25,
