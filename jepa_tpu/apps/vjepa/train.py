@@ -143,6 +143,9 @@ def main(args: dict, resume_preempt: bool = False):
         tubelet_size=tubelet_size,
         uniform_power=uniform_power,
         compute_dtype=compute_dtype,
+        # rematerialize block activations in the backward pass; without it
+        # ViT-L @ b24 wants ~72GB of HBM (activations of 24 scanned layers)
+        remat=cfgs_meta.get("remat", True),
     )
     pred_cfg = predictor_cfg_for(
         enc_cfg,
