@@ -22,7 +22,7 @@ import numpy as np
 
 from jepa_tpu.data.loader import make_video_loader
 from jepa_tpu.data.transforms import AugmentCfg, multiview_crops, pretrain_augment
-from jepa_tpu.evals.aggregation import clip_aggregation, frame_aggregation, temporal_pos_embed_table
+from jepa_tpu.evals.aggregation import clip_aggregation, frame_aggregation
 from jepa_tpu.models.attentive import (
     AttentiveCfg,
     classifier_forward,
@@ -133,7 +133,6 @@ def main(args_eval: dict, resume_preempt: bool = False):
     )
     enc_params, enc_consts = _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger)
     is_video_encoder = pretrain_frames_per_clip > 1
-    pos_table = temporal_pos_embed_table(enc_cfg.embed_dim, tubelet_size=tubelet_size)
 
     # ---- probe --------------------------------------------------------------
     acfg = AttentiveCfg(
