@@ -21,6 +21,7 @@ then spans the pod slice and the same code scales over ICI/DCN.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -33,11 +34,30 @@ def make_mesh(
     fsdp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """Build a (data, fsdp) mesh over ``devices``.
+
+    Degrades gracefully: if ``fsdp`` does not divide the device count, it is
+    reduced to the largest divisor (fsdp=1 always works) with a warning —
+    a 1-chip run of a config written for an 8-chip pod must still run.
+    An explicit ``data`` that contradicts the device count is an error
+    (the caller asked for a specific layout we cannot provide).
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
+        if n % fsdp != 0 or fsdp > n:
+            eff = max(d for d in range(1, min(fsdp, n) + 1) if n % d == 0)
+            warnings.warn(
+                f"fsdp={fsdp} does not divide {n} {devices[0].platform} "
+                f"devices; reducing to fsdp={eff}"
+            )
+            fsdp = eff
         data = n // fsdp
-    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+    if data * fsdp != n:
+        raise ValueError(
+            f"mesh {data}x{fsdp} != {n} devices "
+            f"(platform={devices[0].platform}, n_devices={n})"
+        )
     arr = np.asarray(devices).reshape(data, fsdp)
     return Mesh(arr, ("data", "fsdp"))
 
@@ -52,6 +72,13 @@ def make_mesh_for_batch(batch_size: int, fsdp: int = 1, devices=None) -> Mesh:
 
     devices = list(devices if devices is not None else jax.devices())
     data = math.gcd(len(devices) // fsdp, batch_size)
+    if data * fsdp < len(devices):
+        warnings.warn(
+            f"batch_size={batch_size} shares gcd={data} with "
+            f"{len(devices)}//{fsdp} devices; idling "
+            f"{len(devices) - data * fsdp} of {len(devices)} devices — "
+            f"use a device-multiple batch for production runs"
+        )
     return make_mesh(data=data, fsdp=fsdp, devices=devices[: data * fsdp])
 
 

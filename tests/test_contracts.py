@@ -76,3 +76,53 @@ def test_graft_entry_contract():
     assert out.shape == (1, 1568, 1024)
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
+
+
+def test_dryrun_multichip_self_provisions_from_one_device():
+    """Round-1 gate regression: the driver calls dryrun_multichip(8) in an
+    environment with ONE device and no XLA_FLAGS; the entry must re-exec a
+    CPU subprocess with 8 virtual devices rather than crash."""
+    env = {k: v for k, v in os.environ.items()}
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH="", XLA_FLAGS="")
+    out = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        capture_output=True, text=True, env=env, timeout=500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip(8) ok" in out.stdout
+    assert "'fsdp': 2" in out.stdout  # the ZeRO-1 axis was exercised
+
+
+def test_mesh_graceful_degradation():
+    """make_mesh must degrade (never crash) on 1/2/7/8-device layouts."""
+    import warnings
+
+    import jax
+    from jepa_tpu.parallel.mesh import make_mesh, make_mesh_for_batch
+
+    devs = jax.devices()
+    for n in (1, 2, 7, 8):
+        m = make_mesh(devices=devs[:n])
+        assert dict(m.shape) == {"data": n, "fsdp": 1}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = make_mesh(devices=devs[:1], fsdp=2)  # the driver's round-1 crash
+        assert dict(m.shape) == {"data": 1, "fsdp": 1}
+        m = make_mesh(devices=devs[:7], fsdp=2)
+        assert dict(m.shape) == {"data": 7, "fsdp": 1}
+        m = make_mesh(devices=devs[:8], fsdp=2)  # divides: no degradation
+        assert dict(m.shape) == {"data": 4, "fsdp": 2}
+        assert len(w) == 2 and all("fsdp" in str(x.message) for x in w)
+    with pytest.raises(ValueError):
+        make_mesh(data=3, fsdp=2, devices=devs[:8])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = make_mesh_for_batch(7, devices=devs[:8])  # gcd(8,7)=1 -> idles 7
+        assert dict(m.shape) == {"data": 1, "fsdp": 1}
+        assert any("idling" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = make_mesh_for_batch(16, devices=devs[:8])  # device-multiple: quiet
+        assert dict(m.shape) == {"data": 8, "fsdp": 1}
+        assert not w
