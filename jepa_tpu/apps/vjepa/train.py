@@ -168,12 +168,11 @@ def main(args: dict, resume_preempt: bool = False):
         from jepa_tpu.masks.multiblock3d import calibrate_keep_counts
 
         specs = [MaskSpec.from_cfg(m) for m in cfgs_mask]
-        # calibrate fixed-mode K against the reference's batch-min effective
-        # shapes at the actual per-host batch size
-        kc = [
-            calibrate_keep_counts(s, grid, batch_size * devices_per_host)
-            for s in specs
-        ]
+        # calibrate fixed-mode K at the REFERENCE's per-rank collator batch
+        # (the YAML batch_size, e.g. 24): its batch-min truncation operates on
+        # the per-GPU batch (reference multiblock3d.py:194-201), so the
+        # effective-K distribution must not depend on our local device count
+        kc = [calibrate_keep_counts(s, grid, batch_size) for s in specs]
         host_collator = MB3DCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
     else:
         specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]
@@ -205,6 +204,14 @@ def main(args: dict, resume_preempt: bool = False):
             rank=rank, world_size=world_size, num_workers=num_workers, seed=seed,
         )
     else:
+        # Fixed decode canvas: np.stack collation and the jitted device
+        # augmentation need ONE static frame shape across mixed-resolution
+        # videos. Short side scales like the reference's RandomResizedCrop
+        # source (crop*256/224), long side at 4:3.
+        decode_short = int(crop_size * 256 / 224)
+        decode_size = tuple(
+            cfgs_data.get("decode_size", (decode_short, int(decode_short * 4 / 3)))
+        )
         ds, loader, sampler = make_video_loader(
             data_paths=dataset_paths,
             datasets_weights=datasets_weights,
@@ -216,6 +223,7 @@ def main(args: dict, resume_preempt: bool = False):
             filter_short_videos=filter_short_videos,
             filter_long_videos=int(cfgs_data.get("filter_long_videos", 1e9)),
             decode_backend=decode_backend,
+            decode_size=decode_size,
             rank=rank, world_size=world_size, num_workers=num_workers, seed=seed,
         )
     if ipe is None:
@@ -285,9 +293,23 @@ def main(args: dict, resume_preempt: bool = False):
 
     aug_key = jax.random.PRNGKey(seed + 11)
 
+    def put_global(arr):
+        """Host-local numpy slice -> globally-sharded device array.
+
+        Each host loads only its rank's data slice (loader.py ShardedSampler);
+        with >1 process a plain device_put against the GLOBAL mesh mis-shards,
+        so the multi-controller path assembles the global array from the
+        per-process shards (the TPU analogue of reference DistributedSampler
+        feeding per-rank DDP replicas, reference src/datasets/video_dataset.py:71-75).
+        """
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(arr)
+            )
+        return jax.device_put(jnp.asarray(arr), batch_sharding)
+
     def device_batch(np_batch, step):
-        clips = np_batch["clips"]  # [nc*B, T, H, W, 3] uint8
-        clips = jax.device_put(jnp.asarray(clips), batch_sharding)
+        clips = put_global(np_batch["clips"])  # [nc*B, T, H, W, 3] uint8
         clips = pretrain_augment(jax.random.fold_in(aug_key, step), clips, aug_cfg)
         clips = clips.astype(compute_dtype)
         batch = {"clips": clips}
@@ -297,11 +319,11 @@ def main(args: dict, resume_preempt: bool = False):
             batch["masks_pred"], batch["pred_weights"] = [], []
             for (me, mp), (ce, cp) in zip(zip(me_list, mp_list), pad_caps):
                 m, w = pad_masks(me, ce)
-                batch["masks_enc"].append(jax.device_put(jnp.asarray(m), batch_sharding))
-                batch["enc_weights"].append(jax.device_put(jnp.asarray(w), batch_sharding))
+                batch["masks_enc"].append(put_global(m))
+                batch["enc_weights"].append(put_global(w))
                 m, w = pad_masks(mp, cp)
-                batch["masks_pred"].append(jax.device_put(jnp.asarray(m), batch_sharding))
-                batch["pred_weights"].append(jax.device_put(jnp.asarray(w), batch_sharding))
+                batch["masks_pred"].append(put_global(m))
+                batch["pred_weights"].append(put_global(w))
         return batch
 
     # ---- loop ------------------------------------------------------------

@@ -111,7 +111,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
         training=True, output_size=int(resolution * 256 / 224),
         rank=rank, world_size=world_size, num_workers=num_workers,
     )
-    _, val_loader, _ = make_image_loader(
+    val_ds, val_loader, _ = make_image_loader(
         root_path=root_path, image_folder=image_folder, batch_size=batch_size,
         training=False, output_size=resolution,
         resize_short=int(resolution * 256 / 224),
@@ -173,9 +173,10 @@ def main(args_eval: dict, resume_preempt: bool = False):
         )
         return clf, opt, step + 1, {"loss": loss, "acc": acc * 100.0}
 
-    def val_step(clf, images, labels):
+    def val_step(clf, images, labels, weights):
         logits = classifier_forward(clf, encode_images(images), acfg)
-        return jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        hit = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        return jnp.sum(hit * weights)
 
     train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
     val_step = jax.jit(val_step)
@@ -217,14 +218,27 @@ def main(args_eval: dict, resume_preempt: bool = False):
             if itr % 20 == 0:
                 logger.info("[%5d] train acc %.3f%% (loss %.3f)", itr, meter.avg, float(metrics["loss"]))
 
+        # dedupe non-drop_last wrap padding + AllReduce across processes,
+        # same accounting as the video eval (see its val loop comment)
         correct = total = 0.0
+        k_item = 0
         for np_batch in val_loader:
             imgs = jnp.asarray(np_batch["images"]).astype(jnp.float32)
             imgs = ((imgs - mean) / std).astype(compute_dtype)
             imgs = jax.device_put(imgs, batch_sharding)
             labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
-            correct += float(val_step(clf_params, imgs, labels))
-            total += len(np_batch["labels"])
+            b = len(np_batch["labels"])
+            pos = rank + (k_item + np.arange(b)) * world_size
+            w = (pos < len(val_ds)).astype(np.float32)
+            k_item += b
+            weights = jax.device_put(jnp.asarray(w), batch_sharding)
+            correct += float(val_step(clf_params, imgs, labels, weights))
+            total += float(w.sum())
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            ct = multihost_utils.process_allgather(np.asarray([correct, total]))
+            correct, total = float(ct[:, 0].sum()), float(ct[:, 1].sum())
         val_acc = 100.0 * correct / max(1, total)
         val_accs.append(val_acc)
         logger.info("[%5d] train: %.3f%% test: %.3f%%", epoch + 1, meter.avg, val_acc)

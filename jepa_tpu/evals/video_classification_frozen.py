@@ -50,23 +50,18 @@ def _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger):
         return load_pretrained_encoder(
             pretrained_path, enc_cfg, checkpoint_key, tolerant=True
         )
-    # orbax checkpoint from jepa_tpu pretraining: restore target encoder
+    # orbax checkpoint from jepa_tpu pretraining: restore only the requested
+    # encoder subtree, STRICTLY — a probe trained on a silently-random
+    # encoder is worse than a crash (reference torch.load raises the same way,
+    # evals/video_classification_frozen/eval.py:422-434).
     params, consts = init_vit(jax.random.PRNGKey(0), enc_cfg)
-    state = {
-        "step": jnp.zeros((), jnp.int32),
-        "params": {"encoder": params},
-        "target": params,
-    }
-    key = {"target_encoder": "target", "encoder": "params"}.get(checkpoint_key, "target")
-    try:
-        restored, _ = ckpt_lib.load_checkpoint(
-            os.path.dirname(pretrained_path) or ".", os.path.basename(pretrained_path),
-            state, read_path=pretrained_path,
-        )
-        params = restored[key] if key == "target" else restored["params"]["encoder"]
-        logger.info("restored jepa_tpu encoder (%s) from %s", checkpoint_key, pretrained_path)
-    except Exception as e:
-        logger.warning("could not restore %s (%s); using random init", pretrained_path, e)
+    if {"target_encoder": "target", "encoder": "params"}.get(checkpoint_key, "target") == "target":
+        params = ckpt_lib.load_subtree(pretrained_path, {"target": params})["target"]
+    else:
+        params = ckpt_lib.load_subtree(
+            pretrained_path, {"params": {"encoder": params}}
+        )["params"]["encoder"]
+    logger.info("restored jepa_tpu encoder (%s) from %s", checkpoint_key, pretrained_path)
     return params, consts
 
 
@@ -165,7 +160,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
         rank=rank, world_size=world_size, num_workers=num_workers,
         training=True,
     )
-    _, val_loader, val_sampler = make_video_loader(
+    val_ds, val_loader, val_sampler = make_video_loader(
         data_paths=val_data_path,
         batch_size=batch_size,
         frames_per_clip=eval_frames_per_clip,
@@ -243,12 +238,12 @@ def main(args_eval: dict, resume_preempt: bool = False):
         )
         return clf, opt, step + 1, {"loss": loss, "acc": acc * 100.0, "lr": lr_now}
 
-    def val_step(clf, clips, labels):
+    def val_step(clf, clips, labels, weights):
         feats = encode(clips)
         logits = _all_logits(clf, feats)
         probs = sum(jax.nn.softmax(l) for l in logits) / len(logits)
-        correct = jnp.sum((jnp.argmax(probs, -1) == labels).astype(jnp.float32))
-        return correct
+        hit = (jnp.argmax(probs, -1) == labels).astype(jnp.float32)
+        return jnp.sum(hit * weights)
 
     train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
     val_step = jax.jit(val_step)
@@ -309,12 +304,28 @@ def main(args_eval: dict, resume_preempt: bool = False):
                     itr, train_meter.avg, float(metrics["loss"]), float(metrics["lr"]),
                 )
 
+        # Top-1 accounting (reference eval.py:260-272 AllReduces across ranks;
+        # unlike it, padded duplicates from the non-drop_last sampler are
+        # EXCLUDED: the k-th item this rank yields sits at global position
+        # rank + k*world in the padded order, and positions >= len(val_ds)
+        # are wrap-around duplicates).
         correct = total = 0.0
+        k_item = 0
         for np_batch in val_loader:
             clips = to_views_val(np_batch)
             labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
-            correct += float(val_step(clf_params, clips, labels))
-            total += len(np_batch["labels"])
+            b = len(np_batch["labels"])
+            pos = rank + (k_item + np.arange(b)) * world_size
+            w = (pos < len(val_ds)).astype(np.float32)
+            k_item += b
+            weights = jax.device_put(jnp.asarray(w), batch_sharding)
+            correct += float(val_step(clf_params, clips, labels, weights))
+            total += float(w.sum())
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            ct = multihost_utils.process_allgather(np.asarray([correct, total]))
+            correct, total = float(ct[:, 0].sum()), float(ct[:, 1].sum())
         val_acc = 100.0 * correct / max(1, total)
         val_accs.append(val_acc)
         logger.info("[%5d] train: %.3f%% test: %.3f%%", epoch + 1, train_meter.avg, val_acc)

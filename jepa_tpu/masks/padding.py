@@ -17,12 +17,16 @@ import numpy as np
 def pad_masks(idx: np.ndarray, cap: int) -> Tuple[np.ndarray, np.ndarray]:
     """[B, K] indices -> ([B, cap] indices, [B, cap] float validity).
 
-    Padding repeats index 0 with weight 0. K > cap raises (choose caps from
-    the mask spec's worst case via `static_cap`).
+    Padding repeats index 0 with weight 0. K > cap TRUNCATES to the first
+    cap indices — the exact semantics of the reference's max_keep truncation
+    (reference multiblock3d.py:196: ascending-order `[:min_keep]` slice), so
+    a heavier-than-cap mask degrades gracefully instead of killing a
+    mid-training step (the caps are distribution-typical, not worst-case).
     """
     b, k = idx.shape
     if k > cap:
-        raise ValueError(f"mask K={k} exceeds static cap {cap}")
+        idx = idx[:, :cap]
+        k = cap
     out = np.zeros((b, cap), dtype=np.int32)
     out[:, :k] = idx
     w = np.zeros((b, cap), dtype=np.float32)

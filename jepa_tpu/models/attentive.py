@@ -46,6 +46,12 @@ class AttentiveCfg:
     init_std: float = 0.02
     qkv_bias: bool = True
     complete_block: bool = True
+    # Reference CrossAttention DEFINES self.proj but never calls it in
+    # forward (reference modules.py:137,141-157) — upstream-trained probes
+    # therefore carry an untouched random proj matrix, and applying it
+    # would destroy ported probe accuracy. Default matches the reference;
+    # flip on to use the (probably intended) output projection.
+    use_cross_proj: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
 
@@ -115,7 +121,9 @@ def cross_attention(q, x, p, cfg: AttentiveCfg, kv_mask=None):
     k, v = kv[:, :, 0], kv[:, :, 1]
     out = dot_product_attention(qh, k, v, kv_mask=kv_mask, impl=cfg.attn_impl)
     out = out.reshape(b, n, d)
-    return linear(out, {"w": p["proj_w"], "b": p["proj_b"]}, dtype)
+    if cfg.use_cross_proj:
+        return linear(out, {"w": p["proj_w"], "b": p["proj_b"]}, dtype)
+    return out.astype(dtype)
 
 
 def pooler_forward(params, x, cfg: AttentiveCfg, kv_mask=None):

@@ -3,8 +3,9 @@
 Name -> (embed_dim, depth, num_heads, mlp_ratio), reference:
 src/models/vision_transformer.py:249-307. (The reference's vit_gigantic has
 a typo'd `mpl_ratio` kwarg that is silently swallowed, leaving mlp_ratio at
-the 4.0 default; we implement the *intended* 64/13 but record the quirk
-here for checkpoint-porting awareness.)
+the 4.0 default — so every REAL gigantic checkpoint has 4.0 MLPs.
+`vit_gigantic` matches that effective 4.0 so zoo porting round-trips;
+`vit_gigantic_intended` carries the intended 64/13 as an opt-in.)
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ VIT_EMBED_DIMS = {
     "vit_huge": 1280,
     "vit_giant": 1408,
     "vit_gigantic": 1664,
+    "vit_gigantic_intended": 1664,
 }
 
 _SPECS = {
@@ -32,7 +34,8 @@ _SPECS = {
     "vit_large": (1024, 24, 16, 4.0, 16),
     "vit_huge": (1280, 32, 16, 4.0, 16),
     "vit_giant": (1408, 40, 16, 48 / 11, 16),
-    "vit_gigantic": (1664, 48, 16, 64 / 13, 14),
+    "vit_gigantic": (1664, 48, 16, 4.0, 14),  # reference mpl_ratio typo quirk
+    "vit_gigantic_intended": (1664, 48, 16, 64 / 13, 14),
 }
 
 

@@ -47,6 +47,43 @@ def save_checkpoint(folder: str, tag: str, state: Any, epoch: int,
     logger.info("saved checkpoint at epoch %d", epoch)
 
 
+def load_subtree(path: str, template: Any) -> Any:
+    """STRICTLY restore the subset ``template`` from an orbax checkpoint.
+
+    orbax's ``partial_restore`` silently returns template leaves untouched
+    when the on-disk tree lacks them, and ignores template shapes — so a
+    wrong template would hand back random init while looking like success
+    (the round-1 eval bug). Every requested leaf is validated against the
+    checkpoint metadata first; missing paths or shape mismatches raise.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    ckptr = _checkpointer()
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(template)[0]:
+        node = meta_tree
+        for k in keypath:
+            key = getattr(k, "key", getattr(k, "idx", None))
+            if not isinstance(node, dict) or key not in node:
+                raise KeyError(
+                    f"checkpoint {path} has no leaf "
+                    f"{jax.tree_util.keystr(keypath)} (template/checkpoint mismatch)"
+                )
+            node = node[key]
+        want, got = tuple(np.shape(leaf)), tuple(node.shape)
+        if want != got:
+            raise ValueError(
+                f"shape mismatch at {jax.tree_util.keystr(keypath)}: "
+                f"checkpoint {got} vs template {want}"
+            )
+    return ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(item=template, partial_restore=True)
+    )
+
+
 def load_checkpoint(folder: str, tag: str, state: Any,
                     read_path: Optional[str] = None) -> Tuple[Any, int]:
     """Restore (state, epoch); tolerant of missing/corrupt checkpoints."""

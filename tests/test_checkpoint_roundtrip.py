@@ -54,3 +54,41 @@ def test_exported_weights_run_in_torch_oracle():
         want = model(torch.from_numpy(x)).numpy()
     got = np.asarray(vit_forward(params, consts, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), CFG))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_eval_restores_encoder_from_orbax_pretrain_checkpoint(tmp_path):
+    """Round-1 ADVICE regression: the eval's orbax restore path silently fell
+    back to random init because its template lacked opt/predictor/epoch.
+    Now it must restore the true target encoder — strictly."""
+    import logging
+
+    from jepa_tpu.evals.video_classification_frozen import _load_encoder
+    from jepa_tpu.models.factory import predictor_cfg_for
+    from jepa_tpu.train.step import init_train_state
+    from jepa_tpu.utils import checkpoint as ckpt_lib
+
+    pred_cfg = predictor_cfg_for(CFG, predictor_embed_dim=48, depth=1, num_mask_tokens=2)
+    state, consts = init_train_state(jax.random.PRNGKey(3), CFG, pred_cfg)
+    # make target visibly different from a PRNGKey(0) re-init
+    state["target"] = jax.tree.map(lambda x: x + 1.0, state["target"])
+    ckpt_lib.save_checkpoint(str(tmp_path), "jepa", jax.device_get(state), epoch=7)
+    path = str(tmp_path / "jepa-latest")
+
+    logger = logging.getLogger("test")
+    got, _ = _load_encoder(path, CFG, "target_encoder", logger)
+    for a, b in zip(jax.tree.leaves(state["target"]), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    got, _ = _load_encoder(path, CFG, "encoder", logger)
+    for a, b in zip(jax.tree.leaves(state["params"]["encoder"]), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # wrong model size must raise, not silently return random init
+    big = ViTCfg(img_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+                 embed_dim=128, depth=3, num_heads=4,
+                 compute_dtype=jnp.float32, attn_impl="xla")
+    with pytest.raises((KeyError, ValueError)):
+        _load_encoder(path, big, "target_encoder", logger)
+    # missing checkpoint must raise too
+    with pytest.raises(FileNotFoundError):
+        _load_encoder(str(tmp_path / "nope-latest"), CFG, "target_encoder", logger)

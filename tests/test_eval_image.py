@@ -34,7 +34,7 @@ def test_image_folder_dataset(image_root):
     assert ds.class_to_idx == {"class_a": 0, "class_b": 1}
 
 
-def test_image_eval_end_to_end(image_root, tmp_path):
+def test_image_eval_end_to_end(image_root, tmp_path, tiny_pretrain_ckpt):
     from jepa_tpu.evals.scaffold import main as eval_main
 
     cfg = {
@@ -43,7 +43,7 @@ def test_image_eval_end_to_end(image_root, tmp_path):
             "model_name": "vit_tiny",
             "checkpoint_key": "target_encoder",
             "folder": str(tmp_path),
-            "checkpoint": "none",
+            "checkpoint": tiny_pretrain_ckpt,
             "write_tag": "imgprobe",
             "patch_size": 16,
             "tubelet_size": 2,

@@ -26,7 +26,7 @@ def class_videos(tmp_path_factory):
     return str(train_csv), str(val_csv)
 
 
-def _eval_cfg(train_csv, val_csv, folder, attend=True):
+def _eval_cfg(train_csv, val_csv, folder, ckpt, attend=True):
     return {
         "eval_name": "video_classification_frozen",
         "resume_checkpoint": False,
@@ -34,7 +34,7 @@ def _eval_cfg(train_csv, val_csv, folder, attend=True):
             "model_name": "vit_tiny",
             "checkpoint_key": "target_encoder",
             "folder": folder,
-            "checkpoint": "nonexistent-ckpt",  # random init fallback
+            "checkpoint": ckpt,  # absolute path wins the os.path.join
             "write_tag": "probe",
             "patch_size": 16,
             "tubelet_size": 2,
@@ -70,11 +70,11 @@ def _eval_cfg(train_csv, val_csv, folder, attend=True):
     }
 
 
-def test_eval_video_end_to_end(class_videos, tmp_path):
+def test_eval_video_end_to_end(class_videos, tmp_path, tiny_pretrain_ckpt):
     from jepa_tpu.evals.scaffold import main as eval_main
 
     train_csv, val_csv = class_videos
-    cfg = _eval_cfg(train_csv, val_csv, str(tmp_path), attend=True)
+    cfg = _eval_cfg(train_csv, val_csv, str(tmp_path), tiny_pretrain_ckpt, attend=True)
     val_accs = eval_main("video_classification_frozen", args_eval=cfg)
     assert len(val_accs) == 3
     # artifacts: probe csv + checkpoint under <folder>/video_classification_frozen/
@@ -86,11 +86,11 @@ def test_eval_video_end_to_end(class_videos, tmp_path):
     assert val_accs[-1] >= 75.0, f"probe failed to learn: {val_accs}"
 
 
-def test_eval_video_per_segment_mode(class_videos, tmp_path):
+def test_eval_video_per_segment_mode(class_videos, tmp_path, tiny_pretrain_ckpt):
     from jepa_tpu.evals.scaffold import main as eval_main
 
     train_csv, val_csv = class_videos
-    cfg = _eval_cfg(train_csv, val_csv, str(tmp_path), attend=False)
+    cfg = _eval_cfg(train_csv, val_csv, str(tmp_path), tiny_pretrain_ckpt, attend=False)
     cfg["optimization"]["num_epochs"] = 1
     val_accs = eval_main("video_classification_frozen", args_eval=cfg)
     assert len(val_accs) == 1 and np.isfinite(val_accs[0])

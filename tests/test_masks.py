@@ -128,8 +128,43 @@ def test_pad_masks_and_caps():
     np.testing.assert_array_equal(padded[:, :6], idx)
     assert w[:, 6:].sum() == 0 and w[:, :6].min() == 1
     assert static_cap(1568, 0.35) == 640
-    try:
-        pad_masks(idx, 4)
-        assert False
-    except ValueError:
-        pass
+    # over-cap masks truncate like the reference's max_keep slice
+    # (multiblock3d.py:196) instead of raising mid-training
+    trunc, tw = pad_masks(idx, 4)
+    np.testing.assert_array_equal(trunc, idx[:, :4])
+    assert tw.min() == 1.0
+
+
+def test_fixed_k_calibrated_at_reference_per_rank_batch():
+    """Fixed-mode K must match the reference's batch-min distribution at the
+    PER-RANK collator batch of 24 (reference multiblock3d.py:194-201), for
+    both shipped mask specs — and differ from a per-host-batch (192)
+    calibration, which would be systematically smaller."""
+    import yaml
+
+    from jepa_tpu.masks.multiblock3d import (
+        HostMaskGenerator,
+        calibrate_keep_counts,
+    )
+
+    cfg = yaml.safe_load(open("configs/pretrain/vitl16.yaml"))
+    grid = MaskGrid.from_data_cfg(
+        cfg["data"]["crop_size"], cfg["data"]["patch_size"],
+        cfg["data"]["num_frames"], cfg["data"]["tubelet_size"],
+    )
+    for m in cfg["mask"]:
+        spec = MaskSpec.from_cfg(m)
+        k24 = calibrate_keep_counts(spec, grid, 24)
+        # independent batch-min statistics at B=24 (different seed/iters)
+        gen = HostMaskGenerator(spec, grid, seed=999)
+        enc_sizes, pred_sizes = [], []
+        for _ in range(40):
+            e, p = gen(24)
+            enc_sizes.append(e.shape[1])
+            pred_sizes.append(p.shape[1])
+        assert abs(k24[0] - np.mean(enc_sizes)) <= 0.12 * grid.n
+        assert abs(k24[1] - np.mean(pred_sizes)) <= 0.12 * grid.n
+        # per-host-batch calibration (8 devices x 24) must NOT be used:
+        # min over 192 samples gives a smaller context
+        k192 = calibrate_keep_counts(spec, grid, 192)
+        assert k192[0] < k24[0], (spec, k24, k192)

@@ -71,3 +71,17 @@ def test_tolerant_loading_substitutes_mismatched_shapes(tmp_path):
     # shapes propagate) -> tolerant=False ports the 32px table verbatim
     p3, c3 = load_pretrained_encoder(path, big, tolerant=False)
     assert c3["pos_embed"].shape == (32, 64)
+
+
+def test_gigantic_matches_reference_effective_mlp_ratio():
+    """Reference vit_gigantic passes a typo'd `mpl_ratio=64/13` kwarg that
+    torch silently swallows (vision_transformer.py:291-295), so REAL
+    gigantic zoo checkpoints carry mlp_ratio 4.0. Our default factory must
+    shape-match those checkpoints; the intended 64/13 stays opt-in."""
+    from jepa_tpu.models.factory import vit_cfg
+
+    g = vit_cfg("vit_gigantic")
+    assert g.embed_dim == 1664 and g.depth == 48 and g.patch_size == 14
+    assert g.mlp_ratio == 4.0 and g.mlp_hidden == 6656  # == torch default 4.0
+    gi = vit_cfg("vit_gigantic_intended")
+    assert abs(gi.mlp_ratio - 64 / 13) < 1e-9 and gi.mlp_hidden == int(1664 * 64 / 13)

@@ -71,4 +71,6 @@ def test_factory_giant_gigantic_math():
     assert g.mlp_hidden == int(1408 * 48 / 11)
     gg = vit_cfg("vit_gigantic")
     assert (gg.embed_dim, gg.depth, gg.num_heads, gg.patch_size) == (1664, 48, 16, 14)
-    assert gg.mlp_hidden == int(1664 * 64 / 13)
+    # effective 4.0 (reference mpl_ratio typo) so zoo checkpoints port;
+    # see test_model_extras.test_gigantic_matches_reference_effective_mlp_ratio
+    assert gg.mlp_hidden == 1664 * 4

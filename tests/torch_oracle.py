@@ -131,8 +131,9 @@ class OracleAttentiveClassifier(nn.Module):
         w = (qh @ k.transpose(-2, -1)) * ((C // h) ** -0.5)
         w = w.softmax(dim=-1)
         out = (w @ v).transpose(1, 2).reshape(B, 1, C)
-        y = cab.xattn.proj(out)
-        q = q + y
+        # reference CrossAttention.forward returns WITHOUT applying proj
+        # (modules.py:141-157: proj is defined at :137 but never called)
+        q = q + out
         q = q + cab.mlp.fc2(F.gelu(cab.mlp.fc1(cab.norm2(q))))
         return self.linear(q.squeeze(1))
 
