@@ -119,20 +119,7 @@ def op_brightness(clip, m, sign):
 
 def op_sharpness(clip, m, sign):
     # PIL SMOOTH kernel [[1,1,1],[1,5,1],[1,1,1]]/13, borders unfiltered
-    k = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
-    pad = jnp.pad(clip, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    sm = sum(
-        k[i, j] * pad[:, i : i + clip.shape[1], j : j + clip.shape[2], :]
-        for i in range(3)
-        for j in range(3)
-    )
-    # keep borders unfiltered (PIL behavior)
-    t, h, w, c = clip.shape
-    yy = jnp.arange(h)[None, :, None, None]
-    xx = jnp.arange(w)[None, None, :, None]
-    interior = (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
-    sm = jnp.where(interior, sm, clip)
-    return _blend(clip, sm, 1.0 + sign * (m / 10.0) * 0.9)
+    return _blend(clip, _smooth(clip), 1.0 + sign * (m / 10.0) * 0.9)
 
 
 # ---------------------------------------------------------------------------
@@ -275,3 +262,139 @@ def randaugment_batch(rng, clips, cfg: RandAugmentCfg):
     """[B, T, H, W, C] float 0..255, per-clip independent policies."""
     keys = jax.random.split(rng, clips.shape[0])
     return jax.vmap(lambda k, c: randaugment_clip(k, c, cfg))(keys, clips)
+
+
+# ---------------------------------------------------------------------------
+# AutoAugment 'original' (the AutoAugment ImageNet policy, Cubuk et al. 2019)
+# ---------------------------------------------------------------------------
+#
+# The reference image probe trains with timm's create_transform(...,
+# auto_augment='original') (reference evals/image_classification_frozen/
+# eval.py:394-403): one of 25 sub-policies is drawn per image, each applying
+# two ops with fixed (probability, level). Level->arg mappings follow the
+# 'original' (non-increasing) timm scheme: enhance factor = level/10*1.8+0.1,
+# posterize bits = int(level/10*4)+4, solarize threshold = int(level/10*256),
+# rotate = level/10*30 deg (random sign), shear = level/10*0.3 (random sign).
+
+_AA_ORIGINAL_POLICY = [
+    [("PosterizeOriginal", 0.4, 8), ("Rotate", 0.6, 9)],
+    [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
+    [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
+    [("PosterizeOriginal", 0.6, 7), ("PosterizeOriginal", 0.6, 6)],
+    [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
+    [("Equalize", 0.4, 4), ("Rotate", 0.8, 8)],
+    [("Solarize", 0.6, 3), ("Equalize", 0.6, 7)],
+    [("PosterizeOriginal", 0.8, 5), ("Equalize", 1.0, 2)],
+    [("Rotate", 0.2, 3), ("Solarize", 0.6, 8)],
+    [("Equalize", 0.6, 8), ("PosterizeOriginal", 0.4, 6)],
+    [("Rotate", 0.8, 8), ("Color", 0.4, 0)],
+    [("Rotate", 0.4, 9), ("Equalize", 0.6, 2)],
+    [("Equalize", 0.0, 7), ("Equalize", 0.8, 8)],
+    [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
+    [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+    [("Rotate", 0.8, 8), ("Color", 1.0, 2)],
+    [("Color", 0.8, 8), ("Solarize", 0.8, 7)],
+    [("Sharpness", 0.4, 7), ("Invert", 0.6, 8)],
+    [("ShearX", 0.6, 5), ("Equalize", 1.0, 9)],
+    [("Color", 0.4, 0), ("Equalize", 0.6, 3)],
+    [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
+    [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
+    [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
+    [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+    [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
+]
+
+
+def _posterize_keep_bits(clip, bits):
+    if bits >= 8:
+        return clip
+    q = 2.0 ** (8 - bits)
+    return jnp.floor(jnp.clip(clip, 0, 255) / q) * q
+
+
+def _solarize_at(clip, thresh):
+    return jnp.where(clip < thresh, clip, 255.0 - clip)
+
+
+def _smooth(clip):
+    """PIL SMOOTH filter with unfiltered borders (shared with op_sharpness)."""
+    k = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    pad = jnp.pad(clip, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    sm = sum(
+        k[i, j] * pad[:, i : i + clip.shape[1], j : j + clip.shape[2], :]
+        for i in range(3)
+        for j in range(3)
+    )
+    t, h, w, c = clip.shape
+    yy = jnp.arange(h)[None, :, None, None]
+    xx = jnp.arange(w)[None, None, :, None]
+    interior = (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
+    return jnp.where(interior, sm, clip)
+
+
+def _rotate_deg(clip, deg):
+    rad = jnp.deg2rad(deg)
+    t, h, w, _ = clip.shape
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    a, b = cos, -sin
+    d, e = sin, cos
+    c = cx - a * cx - b * cy
+    f = cy - d * cx - e * cy
+    return _affine_sample(clip, a, b, c, d, e, f)
+
+
+def _aa_apply(name: str, level: float, clip, sign):
+    """One 'original'-policy op with its level resolved to the final arg."""
+    l10 = level / 10.0
+    if name == "PosterizeOriginal":
+        return _posterize_keep_bits(clip, int(l10 * 4) + 4)
+    if name == "Solarize":
+        return _solarize_at(clip, float(int(l10 * 256)))
+    if name == "Rotate":
+        return _rotate_deg(clip, sign * (l10 * 30.0))
+    if name == "ShearX":
+        return _affine_sample(clip, 1.0, sign * (l10 * 0.3), 0.0, 0.0, 1.0, 0.0)
+    if name == "AutoContrast":
+        return op_autocontrast(clip, 0.0)
+    if name == "Equalize":
+        return op_equalize(clip, 0.0)
+    if name == "Invert":
+        return op_invert(clip, 0.0)
+    factor = l10 * 1.8 + 0.1
+    if name == "Color":
+        return _blend(clip, _gray(clip), factor)
+    if name == "Contrast":
+        mean = jnp.mean(_gray(clip), axis=(1, 2, 3), keepdims=True)
+        return _blend(clip, mean, factor)
+    if name == "Sharpness":
+        return _blend(clip, _smooth(clip), factor)
+    raise ValueError(f"unknown AA op {name}")
+
+
+def autoaugment_original_clip(rng, clip):
+    """One clip [T, H, W, C] float 0..255 through a random sub-policy,
+    identical params across frames (temporal consistency, like RandAugment)."""
+    k_pol, k_ops = jax.random.split(rng)
+
+    def make_branch(entries):
+        def branch(clip):
+            for j, (name, prob, level) in enumerate(entries):
+                k = jax.random.fold_in(k_ops, j)
+                k_apply, k_sign = jax.random.split(k)
+                sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
+                out = jnp.clip(_aa_apply(name, float(level), clip, sign), 0.0, 255.0)
+                gate = jax.random.bernoulli(k_apply, prob)
+                clip = jnp.where(gate, out, clip)
+            return clip
+
+        return branch
+
+    idx = jax.random.randint(k_pol, (), 0, len(_AA_ORIGINAL_POLICY))
+    return jax.lax.switch(idx, [make_branch(e) for e in _AA_ORIGINAL_POLICY], clip)
+
+
+def autoaugment_original_batch(rng, clips):
+    """[B, T, H, W, C] float 0..255, per-clip independent sub-policies."""
+    keys = jax.random.split(rng, clips.shape[0])
+    return jax.vmap(autoaugment_original_clip)(keys, clips)

@@ -175,7 +175,13 @@ def pretrain_augment(rng, clips_uint8, cfg: AugmentCfg):
     x = clips_uint8.astype(jnp.float32)
     keys = jax.random.split(rng, b)
 
-    if cfg.auto_augment:
+    if cfg.auto_augment == "original":
+        # AutoAugment ImageNet policy, the reference image probe's default
+        # (reference evals/image_classification_frozen/eval.py:394-403)
+        from jepa_tpu.data.randaugment import autoaugment_original_batch
+
+        x = autoaugment_original_batch(jax.random.fold_in(rng, 999), x)
+    elif cfg.auto_augment:
         from jepa_tpu.data.randaugment import RandAugmentCfg, randaugment_batch
 
         ra_cfg = RandAugmentCfg.from_string(cfg.auto_augment)

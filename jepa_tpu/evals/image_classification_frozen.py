@@ -44,6 +44,15 @@ from jepa_tpu.utils.schedulers import CosineWD, WarmupCosine
 from jepa_tpu.evals.video_classification_frozen import _load_encoder
 
 
+def _resolve_aa(val):
+    """Config value -> AugmentCfg.auto_augment string (or None)."""
+    if val is True:
+        return "original"
+    if not val:
+        return None
+    return str(val)
+
+
 def main(args_eval: dict, resume_preempt: bool = False):
     args_pretrain = args_eval.get("pretrain", {})
     checkpoint_key = args_pretrain.get("checkpoint_key", "target_encoder")
@@ -131,12 +140,10 @@ def main(args_eval: dict, resume_preempt: bool = False):
         random_resize_aspect_ratio=(3 / 4, 4 / 3),
         random_horizontal_flip=True,
         reprob=0.25,
-        # reference uses timm auto-augment 'original' (eval.py:396); the
-        # rand policy is the closest device-native equivalent;
-        # data.auto_augment=false opts out
-        auto_augment=(
-            "rand-m7-n4-mstd0.5-inc1" if args_data.get("auto_augment", True) else None
-        ),
+        # reference default: timm auto-augment 'original' (eval.py:394-403);
+        # data.auto_augment accepts false (off), true/'original', or a
+        # 'rand-...' timm config string
+        auto_augment=_resolve_aa(args_data.get("auto_augment", True)),
     )
 
     def encode_images(images):
