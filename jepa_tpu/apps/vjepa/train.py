@@ -204,14 +204,22 @@ def main(args: dict, resume_preempt: bool = False):
             rank=rank, world_size=world_size, num_workers=num_workers, seed=seed,
         )
     else:
-        # Fixed decode canvas: np.stack collation and the jitted device
-        # augmentation need ONE static frame shape across mixed-resolution
-        # videos. Short side scales like the reference's RandomResizedCrop
-        # source (crop*256/224), long side at 4:3.
-        decode_short = int(crop_size * 256 / 224)
-        decode_size = tuple(
-            cfgs_data.get("decode_size", (decode_short, int(decode_short * 4 / 3)))
-        )
+        # The jitted device augmentation and np.stack collation need ONE
+        # static frame shape across mixed-resolution videos. Default:
+        # aspect-preserving decode (per-video short-side resize onto a
+        # letterbox canvas + valid-region sidecar, like the reference's
+        # undistorted RRC source frames, reference transforms.py:545-577).
+        # data.decode_size opts into a fixed (distorting) canvas instead.
+        decode_short = int(cfgs_data.get(
+            "decode_short_side", int(crop_size * 256 / 224)
+        ))
+        if cfgs_data.get("decode_size") is not None:
+            geom = dict(decode_size=tuple(cfgs_data["decode_size"]))
+        else:
+            canvas = tuple(cfgs_data.get(
+                "decode_canvas", (2 * decode_short, 2 * decode_short)
+            ))
+            geom = dict(decode_short_side=decode_short, decode_canvas=canvas)
         ds, loader, sampler = make_video_loader(
             data_paths=dataset_paths,
             datasets_weights=datasets_weights,
@@ -223,8 +231,8 @@ def main(args: dict, resume_preempt: bool = False):
             filter_short_videos=filter_short_videos,
             filter_long_videos=int(cfgs_data.get("filter_long_videos", 1e9)),
             decode_backend=decode_backend,
-            decode_size=decode_size,
             rank=rank, world_size=world_size, num_workers=num_workers, seed=seed,
+            **geom,
         )
     if ipe is None:
         ipe = len(loader)
@@ -310,7 +318,10 @@ def main(args: dict, resume_preempt: bool = False):
 
     def device_batch(np_batch, step):
         clips = put_global(np_batch["clips"])  # [nc*B, T, H, W, 3] uint8
-        clips = pretrain_augment(jax.random.fold_in(aug_key, step), clips, aug_cfg)
+        vhw = put_global(np_batch["valid_hw"]) if "valid_hw" in np_batch else None
+        clips = pretrain_augment(
+            jax.random.fold_in(aug_key, step), clips, aug_cfg, valid_hw=vhw
+        )
         clips = clips.astype(compute_dtype)
         batch = {"clips": clips}
         if mask_mode == "padded":

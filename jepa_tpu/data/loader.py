@@ -140,18 +140,25 @@ class DataLoader:
 
 
 def default_collate(items):
-    """[(clips [nc,T,H,W,3], label, clip_indices), ...] ->
+    """[(clips [nc,T,H,W,3], label, clip_indices, valid_hw), ...] ->
     {'clips': [nc*B, T, H, W, 3] uint8 (clip-major, matching the
-    reference's torch.cat over clip list), 'labels': [B], 'clip_indices'}.
+    reference's torch.cat over clip list), 'labels': [B], 'clip_indices',
+    'valid_hw': [nc*B, 2] int32 (un-letterboxed frame size per clip row)}.
     """
     clips = np.stack([it[0] for it in items])  # [B, nc, T, H, W, 3]
     b, nc = clips.shape[:2]
     clips = clips.transpose(1, 0, 2, 3, 4, 5).reshape((nc * b,) + clips.shape[2:])
     labels = np.asarray([it[1] for it in items])
+    valid = np.stack([
+        it[3] if len(it) > 3 and it[3] is not None
+        else np.asarray(clips.shape[2:4], np.int32)
+        for it in items
+    ])  # [B, 2], identical for every clip of a sample
     return {
         "clips": clips,
         "labels": labels,
         "clip_indices": [it[2] for it in items],
+        "valid_hw": np.tile(valid, (nc, 1)),  # clip-major like clips
     }
 
 
@@ -170,6 +177,8 @@ def make_video_loader(
     duration=None,
     decode_backend: str = "auto",
     decode_size=None,
+    decode_short_side=None,
+    decode_canvas=None,
     rank: int = 0,
     world_size: int = 1,
     num_workers: int = 8,
@@ -193,6 +202,8 @@ def make_video_loader(
         duration=duration,
         decode_backend=decode_backend,
         decode_size=decode_size,
+        decode_short_side=decode_short_side,
+        decode_canvas=decode_canvas,
         seed=seed + rank,
     )
     if ds.sample_weights is not None:

@@ -72,13 +72,18 @@ def _sample_crop_box(rng, h: int, w: int, scale, ratio):
     return i, j, bh, bw
 
 
-def _bilinear_crop_resize(frames, i, j, bh, bw, out_hw):
+def _bilinear_crop_resize(frames, i, j, bh, bw, out_hw, valid_hw=None):
     """Crop box (i,j,bh,bw) from [T?, H, W, C] and resize to out_hw.
 
     Gather-based bilinear sampling; i/j/bh/bw may be per-frame arrays
-    (motion shift) or scalars. frames: [T, H, W, C] float32.
+    (motion shift) or scalars. frames: [T, H, W, C] float32. valid_hw (two
+    traced ints) clamps sampling to the un-letterboxed region so aspect-
+    preserving decode padding never bleeds into the crop.
     """
     t, h, w, c = frames.shape
+    if valid_hw is not None:
+        h = valid_hw[0]
+        w = valid_hw[1]
     oh, ow = out_hw
     # Align-corners=False sampling positions within the box.
     ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh  # [oh] in (0,1)
@@ -117,24 +122,34 @@ def _bilinear_crop_resize(frames, i, j, bh, bw, out_hw):
     return jax.vmap(per_frame)(frames, y0, y1, x0, x1, wy, wx)
 
 
-def random_resized_crop_clip(rng, clip, cfg: AugmentCfg):
-    """clip: [T, H, W, C] float32 -> [T, crop, crop, C]."""
+def random_resized_crop_clip(rng, clip, cfg: AugmentCfg, valid_hw=None):
+    """clip: [T, H, W, C] float32 -> [T, crop, crop, C].
+
+    valid_hw ([2] int array) restricts the crop box to the un-letterboxed
+    region (aspect-preserving decode) — the reference's RRC operates on
+    undistorted frames (reference transforms.py:545-577)."""
     t = clip.shape[0]
+    if valid_hw is not None:
+        src_h, src_w = valid_hw[0].astype(jnp.float32), valid_hw[1].astype(jnp.float32)
+    else:
+        src_h, src_w = clip.shape[1], clip.shape[2]
     if cfg.motion_shift:
         k1, k2 = jax.random.split(rng)
         i0, j0, bh0, bw0 = _sample_crop_box(
-            k1, clip.shape[1], clip.shape[2], cfg.random_resize_scale, cfg.random_resize_aspect_ratio
+            k1, src_h, src_w, cfg.random_resize_scale, cfg.random_resize_aspect_ratio
         )
         i1, j1, bh1, bw1 = _sample_crop_box(
-            k2, clip.shape[1], clip.shape[2], cfg.random_resize_scale, cfg.random_resize_aspect_ratio
+            k2, src_h, src_w, cfg.random_resize_scale, cfg.random_resize_aspect_ratio
         )
         a = jnp.linspace(0.0, 1.0, t)
         box = tuple(p0 * (1 - a) + p1 * a for p0, p1 in ((i0, i1), (j0, j1), (bh0, bh1), (bw0, bw1)))
     else:
         box = _sample_crop_box(
-            rng, clip.shape[1], clip.shape[2], cfg.random_resize_scale, cfg.random_resize_aspect_ratio
+            rng, src_h, src_w, cfg.random_resize_scale, cfg.random_resize_aspect_ratio
         )
-    return _bilinear_crop_resize(clip, *box, (cfg.crop_size, cfg.crop_size))
+    return _bilinear_crop_resize(
+        clip, *box, (cfg.crop_size, cfg.crop_size), valid_hw=valid_hw
+    )
 
 
 def _erase_cube(rng, clip, cfg: AugmentCfg):
@@ -165,11 +180,12 @@ def _erase_cube(rng, clip, cfg: AugmentCfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def pretrain_augment(rng, clips_uint8, cfg: AugmentCfg):
+def pretrain_augment(rng, clips_uint8, cfg: AugmentCfg, valid_hw=None):
     """[B, T, H, W, C] uint8 -> [B, T, crop, crop, C] float32 normalized.
 
     The whole pretrain VideoTransform (reference app/vjepa/transforms.py:
-    86-115) as one fused device program.
+    86-115) as one fused device program. valid_hw [B, 2] int32 marks the
+    un-letterboxed region per sample (aspect-preserving decode mode).
     """
     b = clips_uint8.shape[0]
     x = clips_uint8.astype(jnp.float32)
@@ -187,9 +203,9 @@ def pretrain_augment(rng, clips_uint8, cfg: AugmentCfg):
         ra_cfg = RandAugmentCfg.from_string(cfg.auto_augment)
         x = randaugment_batch(jax.random.fold_in(rng, 999), x, ra_cfg)
 
-    def per_sample(key, clip):
+    def per_sample(key, clip, hw):
         k_crop, k_flip, k_erase = jax.random.split(key, 3)
-        out = random_resized_crop_clip(k_crop, clip, cfg)
+        out = random_resized_crop_clip(k_crop, clip, cfg, valid_hw=hw)
         if cfg.random_horizontal_flip:
             flip = jax.random.uniform(k_flip, ()) < 0.5
             out = jnp.where(flip, out[:, :, ::-1, :], out)
@@ -200,31 +216,56 @@ def pretrain_augment(rng, clips_uint8, cfg: AugmentCfg):
             out = _erase_cube(k_erase, out, cfg)
         return out
 
-    return jax.vmap(per_sample)(keys, x)
+    if valid_hw is None:
+        return jax.vmap(lambda k, c: per_sample(k, c, None))(keys, x)
+    return jax.vmap(per_sample)(keys, x, valid_hw)
 
 
 @partial(jax.jit, static_argnames=("crop_size", "num_views"))
 def multiview_crops(clips: jnp.ndarray, crop_size: int, num_views: int,
-                    mean=IMAGENET_MEAN, std=IMAGENET_STD):
+                    mean=IMAGENET_MEAN, std=IMAGENET_STD, valid_hw=None):
     """Val-side multi-view: slide `num_views` square crops along the long
     side of short-side==crop_size frames and normalize (reference
     EvalVideoTransform, evals/video_classification_frozen/utils.py:286-323).
 
-    clips: [B, S, T, H, W, C] uint8 with min(H, W) == crop_size.
+    clips: [B, S, T, H, W, C] uint8 with min(H, W) == crop_size (in
+    aspect-preserving mode the un-letterboxed region of each sample has
+    short side crop_size; ``valid_hw`` [B, 2] gives that region, and the
+    views slide along the sample's TRUE long side).
     Returns [B, S, num_views, T, crop, crop, C] float32.
     """
     b, s, t, h, w, c = clips.shape
     x = clips.astype(jnp.float32)
-    long_side = max(h, w)
-    step = (long_side - crop_size) // max(1, num_views - 1)
-    views = []
-    for i in range(num_views):
-        start = i * step
-        if h > w:
-            views.append(x[:, :, :, start : start + crop_size, :, :])
-        else:
-            views.append(x[:, :, :, :, start : start + crop_size, :])
-    out = jnp.stack(views, axis=2)
+    if valid_hw is None:
+        long_side = max(h, w)
+        step = (long_side - crop_size) // max(1, num_views - 1)
+        views = []
+        for i in range(num_views):
+            start = i * step
+            if h > w:
+                views.append(x[:, :, :, start : start + crop_size, :, :])
+            else:
+                views.append(x[:, :, :, :, start : start + crop_size, :])
+        out = jnp.stack(views, axis=2)
+    else:
+        def per_sample(xs, hw):  # xs: [S, T, H, W, C]
+            hv, wv = hw[0], hw[1]
+            long_len = jnp.maximum(hv, wv)
+            denom = max(1, num_views - 1)
+            step = jnp.maximum(long_len - crop_size, 0).astype(jnp.float32) / denom
+            vs = []
+            for i in range(num_views):
+                start = jnp.round(i * step).astype(jnp.int32)
+                sy = jnp.where(hv > wv, start, 0)
+                sx = jnp.where(hv > wv, 0, start)
+                sy = jnp.clip(sy, 0, h - crop_size)
+                sx = jnp.clip(sx, 0, w - crop_size)
+                vs.append(jax.lax.dynamic_slice(
+                    xs, (0, 0, sy, sx, 0), (s, t, crop_size, crop_size, c)
+                ))
+            return jnp.stack(vs, axis=1)  # [S, V, T, crop, crop, C]
+
+        out = jax.vmap(per_sample)(x, valid_hw)
     m = jnp.asarray(mean, jnp.float32) * 255.0
     sd = jnp.asarray(std, jnp.float32) * 255.0
     return (out - m) / sd

@@ -52,24 +52,45 @@ def decode_npy(path: str, indices: np.ndarray) -> np.ndarray:
 class SyntheticBackend:
     """Deterministic synthetic video (tests / benchmarks without data)."""
 
-    def __init__(self, num_frames=300, height=256, width=320, fps=30.0):
+    # per-path native aspect pool for aspect-preserving mode (tests)
+    _ASPECTS = ((4, 3), (16, 9), (9, 16), (1, 1))
+
+    def __init__(self, num_frames=300, height=256, width=320, fps=30.0,
+                 short_side=None, canvas=None):
         self.num_frames, self.height, self.width, self.fps = num_frames, height, width, fps
+        self.short_side = short_side
+        self.canvas = canvas if canvas is not None else (
+            (2 * short_side, 2 * short_side) if short_side else None
+        )
 
     def probe(self, path: str):
         return self.num_frames, self.fps
 
-    def decode(self, path: str, indices: np.ndarray) -> np.ndarray:
+    def _render(self, path: str, indices, height: int, width: int) -> np.ndarray:
         seed = abs(hash(path)) % (2**31)
         rng = np.random.default_rng(seed)
         phase = rng.uniform(0, 2 * np.pi, 3)
         freq = rng.uniform(0.02, 0.2, 3)
-        y, x = np.mgrid[0 : self.height, 0 : self.width]
-        out = np.empty((len(indices), self.height, self.width, 3), np.uint8)
+        y, x = np.mgrid[0:height, 0:width]
+        out = np.empty((len(indices), height, width, 3), np.uint8)
         for n, t in enumerate(indices):
             for c in range(3):
                 v = 127.5 * (1 + np.sin(freq[c] * (x + 2.0 * t) + phase[c]) * np.cos(freq[c] * (y - t)))
                 out[n, :, :, c] = v.astype(np.uint8)
         return out
+
+    def decode(self, path: str, indices: np.ndarray) -> np.ndarray:
+        return self._render(path, indices, self.height, self.width)
+
+    def decode_aspect(self, path: str, indices: np.ndarray):
+        from jepa_tpu.native.videodec import letterbox, scaled_size
+
+        ar = self._ASPECTS[abs(hash(path)) % len(self._ASPECTS)]
+        base = 240
+        h, w = base * ar[1] // min(ar), base * ar[0] // min(ar)
+        hp, wp = scaled_size(h, w, self.short_side, self.canvas)
+        frames = self._render(path, indices, hp, wp)
+        return letterbox(frames, self.canvas), (hp, wp)
 
 
 class NpyBackend:
@@ -81,25 +102,31 @@ class NpyBackend:
         return decode_npy(path, indices)
 
 
-def get_backend(name: str, decode_size=None):
+def get_backend(name: str, decode_size=None, short_side=None, canvas=None):
     """decode_size (h, w): fixed decode canvas so raw frames batch uniformly
     (device-side augmentation needs one static shape; the native decoder
-    resizes for free inside sws_scale)."""
+    resizes for free inside sws_scale). short_side (+ optional canvas):
+    aspect-preserving mode — per-video short-side resize, letterboxed onto
+    a static canvas with a valid-size sidecar (see NativeBackend)."""
     if name == "synthetic":
+        if short_side is not None:
+            return SyntheticBackend(short_side=short_side, canvas=canvas)
         if decode_size is not None:
             return SyntheticBackend(height=decode_size[0], width=decode_size[1])
         return SyntheticBackend()
     if name == "npy":
+        if short_side is not None:
+            raise ValueError("npy backend does not support aspect-preserving decode")
         return NpyBackend()
     if name == "native":
         from jepa_tpu.native.videodec import NativeBackend
 
-        return NativeBackend(out_size=decode_size)
+        return NativeBackend(out_size=decode_size, short_side=short_side, canvas=canvas)
     if name == "auto":
         try:
             from jepa_tpu.native.videodec import NativeBackend
 
-            return NativeBackend(out_size=decode_size)
+            return NativeBackend(out_size=decode_size, short_side=short_side, canvas=canvas)
         except Exception as e:
             logger.warning("native video decoder unavailable (%s); using npy backend", e)
             return NpyBackend()
@@ -205,13 +232,18 @@ class VideoDataset:
     duration: Optional[float] = None
     decode_backend: str = "auto"
     decode_size: Optional[Tuple[int, int]] = None
+    decode_short_side: Optional[int] = None
+    decode_canvas: Optional[Tuple[int, int]] = None
     seed: int = 0
 
     def __post_init__(self):
         self.samples, self.labels, self.sample_weights = load_manifests(
             self.data_paths, self.datasets_weights
         )
-        self.backend = get_backend(self.decode_backend, self.decode_size)
+        self.backend = get_backend(
+            self.decode_backend, self.decode_size,
+            short_side=self.decode_short_side, canvas=self.decode_canvas,
+        )
         self._rng = np.random.default_rng(self.seed)
 
     def __len__(self):
@@ -221,26 +253,26 @@ class VideoDataset:
         if self.decode_backend not in ("synthetic",):
             if not os.path.exists(path):
                 warnings.warn(f"video path not found {path}")
-                return None, None
+                return None, None, None
             fsize = os.path.getsize(path)
             if fsize < 1 * 1024:
                 warnings.warn(f"video too short {path}")
-                return None, None
+                return None, None, None
             if fsize > self.filter_long_videos:
                 warnings.warn(f"skipping long video of size {fsize} bytes")
-                return None, None
+                return None, None, None
         try:
             video_len, fps = self.backend.probe(path)
         except Exception as e:
             warnings.warn(f"probe failed for {path}: {e}")
-            return None, None
+            return None, None, None
         fstp = self.frame_step
         if self.duration is not None and fps:
             fstp = max(1, int(self.duration * fps / self.frames_per_clip))
         clip_len = int(self.frames_per_clip * fstp)
         if self.filter_short_videos and video_len < clip_len:
             warnings.warn(f"skipping short video of length {video_len}")
-            return None, None
+            return None, None, None
         clip_indices = sample_clip_indices(
             video_len,
             self.frames_per_clip,
@@ -252,23 +284,29 @@ class VideoDataset:
         )
         all_idx = np.concatenate(clip_indices)
         try:
-            buffer = self.backend.decode(path, all_idx)
+            if self.decode_short_side is not None:
+                buffer, valid_hw = self.backend.decode_aspect(path, all_idx)
+            else:
+                buffer = self.backend.decode(path, all_idx)
+                valid_hw = buffer.shape[1:3]
         except Exception as e:
             warnings.warn(f"decode failed for {path}: {e}")
-            return None, None
-        return buffer, clip_indices
+            return None, None, None
+        return buffer, clip_indices, np.asarray(valid_hw, np.int32)
 
     def __getitem__(self, index: int):
-        """Returns (clips: [num_clips, fpc, H, W, 3] uint8, label, clip_indices).
+        """Returns (clips: [num_clips, fpc, H, W, 3] uint8, label,
+        clip_indices, valid_hw [2] int32 — the un-letterboxed frame size in
+        aspect-preserving mode, else the full frame size).
 
         Corrupt/missing videos are skipped by resampling a random index
         indefinitely (reference :159-166).
         """
         while True:
-            buffer, clip_indices = self._load(self.samples[index])
+            buffer, clip_indices, valid_hw = self._load(self.samples[index])
             if buffer is not None:
                 break
             index = int(self._rng.integers(0, len(self)))
         fpc = self.frames_per_clip
         clips = buffer.reshape(self.num_clips, fpc, *buffer.shape[1:])
-        return clips, self.labels[index], clip_indices
+        return clips, self.labels[index], clip_indices, valid_hw

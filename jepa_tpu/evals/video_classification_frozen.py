@@ -142,10 +142,21 @@ def main(args_eval: dict, resume_preempt: bool = False):
     wd_mask = decay_mask(clf_params)
 
     # ---- data ----------------------------------------------------------------
-    # fixed decode canvas: short side a bit over the crop for train RRC;
-    # exactly the crop for val multi-view (see transforms.multiview_crops)
-    train_decode = (int(resolution * 256 / 224), int(resolution * 256 / 224 * 4 / 3))
-    val_decode = (resolution, int(resolution * 4 / 3))
+    # Aspect-preserving decode (default): per-video short-side resize onto a
+    # static letterbox canvas with a valid-region sidecar — matches the
+    # reference's short-side Resize geometry (utils.py:286-323) for any
+    # source aspect. data.aspect_preserving: false reverts to a fixed
+    # (distorting) 4:3 canvas.
+    aspect = bool(args_data.get("aspect_preserving", True))
+    train_short = int(resolution * 256 / 224)
+    if aspect:
+        train_geom = dict(decode_short_side=train_short,
+                          decode_canvas=(2 * train_short, 2 * train_short))
+        val_geom = dict(decode_short_side=resolution,
+                        decode_canvas=(2 * resolution, 2 * resolution))
+    else:
+        train_geom = dict(decode_size=(train_short, int(train_short * 4 / 3)))
+        val_geom = dict(decode_size=(resolution, int(resolution * 4 / 3)))
     train_segments = eval_num_segments if attend_across_segments else 1
     _, train_loader, train_sampler = make_video_loader(
         data_paths=train_data_path,
@@ -156,9 +167,8 @@ def main(args_eval: dict, resume_preempt: bool = False):
         duration=eval_duration,
         allow_clip_overlap=True,
         decode_backend=decode_backend,
-        decode_size=train_decode,
         rank=rank, world_size=world_size, num_workers=num_workers,
-        training=True,
+        training=True, **train_geom,
     )
     val_ds, val_loader, val_sampler = make_video_loader(
         data_paths=val_data_path,
@@ -169,9 +179,8 @@ def main(args_eval: dict, resume_preempt: bool = False):
         duration=eval_duration,
         allow_clip_overlap=True,
         decode_backend=decode_backend,
-        decode_size=val_decode,
         rank=rank, world_size=world_size, num_workers=num_workers,
-        training=False, drop_last=False,
+        training=False, drop_last=False, **val_geom,
     )
     ipe = len(train_loader)
     logger.info("train iterations per epoch: %d", ipe)
@@ -271,7 +280,10 @@ def main(args_eval: dict, resume_preempt: bool = False):
         sb, t, h, w, c = clips.shape
         b = sb // train_segments
         clips = jax.device_put(jnp.asarray(clips), batch_sharding)
-        out = pretrain_augment(jax.random.fold_in(aug_key, gstep), clips, aug_cfg)
+        vhw = jax.device_put(jnp.asarray(np_batch["valid_hw"]), batch_sharding)
+        out = pretrain_augment(
+            jax.random.fold_in(aug_key, gstep), clips, aug_cfg, valid_hw=vhw
+        )
         out = out.reshape(train_segments, b, t, resolution, resolution, c)
         out = jnp.transpose(out, (1, 0, 2, 3, 4, 5))[:, :, None]  # [B,S,1,...]
         return out.astype(compute_dtype)
@@ -283,7 +295,12 @@ def main(args_eval: dict, resume_preempt: bool = False):
         clips = jnp.asarray(clips).reshape(eval_num_segments, b, t, h, w, c)
         clips = jnp.transpose(clips, (1, 0, 2, 3, 4, 5))  # [B, S, T, H, W, C]
         clips = jax.device_put(clips, batch_sharding)
-        out = multiview_crops(clips, resolution, eval_num_views_per_segment)
+        # valid_hw rows are clip-major [S*B, 2], identical across a sample's
+        # segments: the first B rows are segment 0's per-sample dims
+        vhw = jax.device_put(jnp.asarray(np_batch["valid_hw"][:b]), batch_sharding)
+        out = multiview_crops(
+            clips, resolution, eval_num_views_per_segment, valid_hw=vhw
+        )
         return out.astype(compute_dtype)
 
     val_accs = []

@@ -128,12 +128,30 @@ class VideoReader:
 
 
 class NativeBackend:
-    """Decode backend for jepa_tpu.data.video_dataset (probe/decode)."""
+    """Decode backend for jepa_tpu.data.video_dataset (probe/decode).
 
-    def __init__(self, out_size: Optional[Tuple[int, int]] = None, threads: int = 2):
+    Two geometry modes:
+      * fixed canvas (``out_size``): every video scales to one (H, W) —
+        distorts non-matching aspect ratios, cheapest.
+      * aspect-preserving (``short_side`` + ``canvas``): per video, scale so
+        the short side == short_side (capped so the frame fits the canvas),
+        sws_scale to that size, letterbox top-left into a zeroed static
+        canvas. The TPU analogue of the reference's short-side Resize
+        (reference evals/video_classification_frozen/utils.py:286-323):
+        static batch shapes for jit, true geometry preserved, with a
+        [valid_h, valid_w] sidecar the device crops honor.
+    """
+
+    def __init__(self, out_size: Optional[Tuple[int, int]] = None, threads: int = 2,
+                 short_side: Optional[int] = None,
+                 canvas: Optional[Tuple[int, int]] = None):
         _load()  # fail fast if the library can't be built
         self.out_size = out_size
         self.threads = threads
+        self.short_side = short_side
+        self.canvas = canvas if canvas is not None else (
+            (2 * short_side, 2 * short_side) if short_side else None
+        )
 
     def probe(self, path: str):
         r = VideoReader(path, threads=1)
@@ -148,6 +166,32 @@ class NativeBackend:
             return r.get_batch(indices, out_size=self.out_size)
         finally:
             r.close()
+
+    def decode_aspect(self, path: str, indices: np.ndarray):
+        """Aspect-preserving decode -> (frames [T, Hc, Wc, 3], (h', w'))."""
+        r = VideoReader(path, threads=self.threads)
+        try:
+            hp, wp = scaled_size(r.height, r.width, self.short_side, self.canvas)
+            frames = r.get_batch(indices, out_size=(hp, wp))
+        finally:
+            r.close()
+        return letterbox(frames, self.canvas), (hp, wp)
+
+
+def scaled_size(h: int, w: int, short_side: int, canvas: Tuple[int, int]):
+    """Short-side scale capped so the result fits the canvas."""
+    scale = min(short_side / min(h, w), canvas[0] / h, canvas[1] / w)
+    return max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+
+
+def letterbox(frames: np.ndarray, canvas: Tuple[int, int]) -> np.ndarray:
+    """[T, h, w, 3] -> zero-padded [T, Hc, Wc, 3], content at top-left."""
+    t, h, w, c = frames.shape
+    if (h, w) == tuple(canvas):
+        return frames
+    out = np.zeros((t, canvas[0], canvas[1], c), frames.dtype)
+    out[:, :h, :w] = frames
+    return out
 
 
 def write_test_video(path: str, num_frames=64, width=192, height=128,

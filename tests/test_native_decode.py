@@ -105,6 +105,20 @@ def test_corrupt_video_resample(fixture_videos, tmp_path):
         num_clips=1, decode_backend="native", seed=0,
     )
     with pytest.warns(UserWarning):
-        clips, label, _ = ds[0]  # corrupt -> resamples to the good video
+        clips, label, _, _ = ds[0]  # corrupt -> resamples to the good video
     assert clips.shape == (1, 4, 128, 192, 3)
     assert label == 1
+
+
+def test_native_decode_aspect_preserving(tmp_path):
+    """16:9 source -> short side == requested, letterboxed, content intact."""
+    from jepa_tpu.native.videodec import NativeBackend, write_test_video
+
+    p = str(tmp_path / "wide.mp4")
+    write_test_video(p, num_frames=12, width=320, height=180, seed=3)
+    be = NativeBackend(short_side=96, canvas=(192, 192))
+    frames, (hp, wp) = be.decode_aspect(p, np.arange(0, 12, 3))
+    assert frames.shape == (4, 192, 192, 3)
+    assert (hp, wp) == (96, 171)  # aspect 16:9 preserved
+    assert frames[:, :hp, :wp].std() > 10  # real content
+    assert frames[:, hp:].sum() == 0 and frames[:, :, wp:].sum() == 0

@@ -74,3 +74,90 @@ def test_factory_giant_gigantic_math():
     # effective 4.0 (reference mpl_ratio typo) so zoo checkpoints port;
     # see test_model_extras.test_gigantic_matches_reference_effective_mlp_ratio
     assert gg.mlp_hidden == 1664 * 4
+
+
+# ---------------------------------------------------------------------------
+# aspect-preserving decode geometry (VERDICT round-1 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_size_and_letterbox():
+    from jepa_tpu.native.videodec import letterbox, scaled_size
+
+    # 16:9 landscape, short side -> 96
+    assert scaled_size(180, 320, 96, (192, 192)) == (96, 171)
+    # portrait 9:16
+    assert scaled_size(320, 180, 96, (192, 192)) == (171, 96)
+    # extreme aspect capped by the canvas long side
+    h, w = scaled_size(100, 500, 96, (192, 192))
+    assert w == 192 and h == 38
+    fr = np.full((2, 96, 171, 3), 200, np.uint8)
+    boxed = letterbox(fr, (192, 192))
+    assert boxed.shape == (2, 192, 192, 3)
+    assert (boxed[:, :96, :171] == 200).all()
+    assert boxed[:, 96:].sum() == 0 and boxed[:, :, 171:].sum() == 0
+
+
+def test_multiview_slides_along_true_long_side():
+    from jepa_tpu.data.transforms import multiview_crops
+
+    crop, views = 32, 3
+    h = w = 64  # square canvas
+    # landscape sample: valid (32, 56); encode x coordinate in channel 0
+    canvas = np.zeros((1, 1, 2, h, w, 3), np.uint8)
+    xx = np.arange(w, dtype=np.uint8)
+    canvas[0, 0, :, :32, :, 0] = xx[None, None, :]
+    vhw = np.asarray([[32, 56]], np.int32)
+    out = multiview_crops(jnp.asarray(canvas), crop, views, valid_hw=jnp.asarray(vhw))
+    assert out.shape == (1, 1, views, 2, crop, crop, 3)
+    mean = jnp.asarray((0.485, 0.456, 0.406)) * 255.0
+    std = jnp.asarray((0.229, 0.224, 0.225)) * 255.0
+    x0 = np.asarray(out[0, 0, :, 0, 0, 0, 0]) * float(std[0]) + float(mean[0])
+    # starts at round(i * (56-32)/2) = 0, 12, 24 along the true long side
+    np.testing.assert_allclose(x0, [0.0, 12.0, 24.0], atol=0.51)
+    # portrait sample: valid (56, 32) -> slides along y
+    canvas_p = np.zeros((1, 1, 2, h, w, 3), np.uint8)
+    yy = np.arange(h, dtype=np.uint8)
+    canvas_p[0, 0, :, :, :32, 0] = yy[None, :, None]
+    out_p = multiview_crops(
+        jnp.asarray(canvas_p), crop, views,
+        valid_hw=jnp.asarray([[56, 32]], np.int32),
+    )
+    y0 = np.asarray(out_p[0, 0, :, 0, 0, 0, 0]) * float(std[0]) + float(mean[0])
+    np.testing.assert_allclose(y0, [0.0, 12.0, 24.0], atol=0.51)
+
+
+def test_rrc_never_bleeds_letterbox_padding():
+    from jepa_tpu.data.transforms import AugmentCfg, pretrain_augment
+
+    cfg = AugmentCfg(crop_size=16, random_resize_scale=(0.3, 1.0),
+                     random_horizontal_flip=True)
+    clips = np.zeros((4, 2, 64, 64, 3), np.uint8)
+    clips[:, :, :33, :57] = 255  # valid region, bright; padding black
+    vhw = np.tile(np.asarray([[33, 57]], np.int32), (4, 1))
+    out = pretrain_augment(
+        jax.random.PRNGKey(0), jnp.asarray(clips), cfg, valid_hw=jnp.asarray(vhw)
+    )
+    # normalized 255 for channel 0: (255 - 0.485*255)/(0.229*255)
+    want = (255.0 - 0.485 * 255.0) / (0.229 * 255.0)
+    np.testing.assert_allclose(np.asarray(out[..., 0]), want, atol=1e-3)
+
+
+def test_video_loader_aspect_mode_end_to_end(tmp_path):
+    from jepa_tpu.data.loader import make_video_loader
+
+    manifest = tmp_path / "m.csv"
+    manifest.write_text("".join(f"synthetic://v{i} 0\n" for i in range(8)))
+    ds, loader, _ = make_video_loader(
+        data_paths=[str(manifest)], batch_size=4, frames_per_clip=4,
+        frame_step=2, num_clips=2, decode_backend="synthetic",
+        decode_short_side=48, decode_canvas=(96, 96), num_workers=2,
+    )
+    batch = next(iter(loader))
+    assert batch["clips"].shape == (8, 4, 96, 96, 3)  # nc*B on the canvas
+    assert batch["valid_hw"].shape == (8, 2)
+    hw = batch["valid_hw"]
+    assert (hw.min(axis=1) == 48).all()  # short side == requested
+    assert (hw.max(axis=1) <= 96).all()
+    # segments of the same sample share dims (clip-major tiling)
+    np.testing.assert_array_equal(hw[:4], hw[4:])
