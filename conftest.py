@@ -33,3 +33,8 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
     for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
     if p and ".axon_site" not in p
 )
+
+
+def pytest_configure(config):
+    # informational only — subprocess communicate() timeouts do the real work
+    config.addinivalue_line("markers", "timeout(seconds): soft time budget")

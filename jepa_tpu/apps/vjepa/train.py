@@ -165,7 +165,7 @@ def main(args: dict, resume_preempt: bool = False):
     grid = MaskGrid.from_data_cfg(crop_size, patch_size, num_frames, tubelet_size)
     mask_type = cfgs_data.get("mask_type", "multiblock3d")
     if mask_type == "multiblock3d":
-        from jepa_tpu.masks.multiblock3d import calibrate_keep_counts
+        from jepa_tpu.masks.multiblock3d import calibrate_keep_counts, calibrate_pad_caps
 
         specs = [MaskSpec.from_cfg(m) for m in cfgs_mask]
         # calibrate fixed-mode K at the REFERENCE's per-rank collator batch
@@ -174,15 +174,20 @@ def main(args: dict, resume_preempt: bool = False):
         # effective-K distribution must not depend on our local device count
         kc = [calibrate_keep_counts(s, grid, batch_size) for s in specs]
         host_collator = MB3DCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
+        # padded-mode static caps sized to the distribution's tail (rare
+        # heavier masks truncate like the reference's max_keep slice)
+        pad_caps = [calibrate_pad_caps(s, grid, batch_size) for s in specs]
     else:
         specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]
         kc = [tube_keep_counts(s, grid) for s in specs]
         host_collator = TubeMaskCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
         if mask_mode == "fixed":
             mask_mode = "tube"
-    pad_caps = [
-        (static_cap(grid.n, 0.6), static_cap(grid.n, 1.0)) for _ in specs
-    ]
+        # tube masks are exact-K by construction: caps are K rounded up
+        pad_caps = [
+            (static_cap(grid.n, ke / grid.n), static_cap(grid.n, kp / grid.n))
+            for ke, kp in kc
+        ]
     logger.info("mask grid %s keep counts %s mode %s", (grid.t, grid.h, grid.w), kc, mask_mode)
 
     # ---- data -----------------------------------------------------------
@@ -422,9 +427,12 @@ def main(args: dict, resume_preempt: bool = False):
             assert np.isfinite(loss), "loss is nan"
 
         logger.info("avg. loss %.3f", meters["loss"].avg)
-        if rank == 0 and (epoch % CHECKPOINT_FREQ == 0 or epoch == num_epochs - 1):
+        if epoch % CHECKPOINT_FREQ == 0 or epoch == num_epochs - 1:
+            # EVERY process calls the orbax save (it coordinates internally
+            # and process 0 writes) — a rank-0-only call deadlocks in
+            # orbax's multihost barrier when process_count > 1
             ckpt_lib.save_checkpoint(folder, tag, jax.device_get(state), epoch + 1, save_every_freq)
-            if export_torch:
+            if export_torch and rank == 0:
                 # reference-compatible .pth.tar so original-framework users
                 # can consume jepa_tpu pretrained weights directly
                 from jepa_tpu.utils.checkpoint_port import save_torch_checkpoint

@@ -49,6 +49,15 @@ def decode_npy(path: str, indices: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr[idx])
 
 
+def _stable_hash(path: str) -> int:
+    """Process-independent path hash (built-in hash() is randomized per
+    process, which would give each multi-host rank different synthetic
+    content for the same path)."""
+    import zlib
+
+    return zlib.crc32(path.encode()) & 0x7FFFFFFF
+
+
 class SyntheticBackend:
     """Deterministic synthetic video (tests / benchmarks without data)."""
 
@@ -67,7 +76,7 @@ class SyntheticBackend:
         return self.num_frames, self.fps
 
     def _render(self, path: str, indices, height: int, width: int) -> np.ndarray:
-        seed = abs(hash(path)) % (2**31)
+        seed = _stable_hash(path)
         rng = np.random.default_rng(seed)
         phase = rng.uniform(0, 2 * np.pi, 3)
         freq = rng.uniform(0.02, 0.2, 3)
@@ -85,7 +94,7 @@ class SyntheticBackend:
     def decode_aspect(self, path: str, indices: np.ndarray):
         from jepa_tpu.native.videodec import letterbox, scaled_size
 
-        ar = self._ASPECTS[abs(hash(path)) % len(self._ASPECTS)]
+        ar = self._ASPECTS[_stable_hash(path) % len(self._ASPECTS)]
         base = 240
         h, w = base * ar[1] // min(ar), base * ar[0] // min(ar)
         hp, wp = scaled_size(h, w, self.short_side, self.canvas)

@@ -250,12 +250,12 @@ def main(args_eval: dict, resume_preempt: bool = False):
         val_accs.append(val_acc)
         logger.info("[%5d] train: %.3f%% test: %.3f%%", epoch + 1, meter.avg, val_acc)
         csv_logger.log(epoch + 1, meter.avg, val_acc)
-        if rank == 0:
-            ckpt_lib.save_checkpoint(
-                folder, tag,
-                {"classifier": jax.device_get(clf_params),
-                 "opt": jax.device_get(opt_state),
-                 "step": jax.device_get(step)},
-                epoch + 1,
-            )
+        # all processes participate in the orbax save (process 0 writes)
+        ckpt_lib.save_checkpoint(
+            folder, tag,
+            {"classifier": jax.device_get(clf_params),
+             "opt": jax.device_get(opt_state),
+             "step": jax.device_get(step)},
+            epoch + 1,
+        )
     return val_accs

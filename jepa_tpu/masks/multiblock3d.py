@@ -143,6 +143,30 @@ def calibrate_keep_counts(
     return k_enc, k_pred
 
 
+def calibrate_pad_caps(
+    spec: MaskSpec, grid: MaskGrid, batch_size: int,
+    iters: int = 40, seed: int = 4321, headroom: float = 1.05, multiple: int = 128,
+) -> Tuple[int, int]:
+    """(enc_cap, pred_cap) for padded-parity mode, from the distribution's
+    empirical max over ``iters`` draws plus headroom, rounded up to a lane
+    multiple. Rare heavier masks TRUNCATE in pad_masks (the reference's
+    max_keep semantics) instead of paying worst-case static shapes: the
+    naive 0.6N/1.0N caps made the padded step ~3x slower than fixed mode
+    for ~2.5x over-allocated sequence length."""
+    gen = HostMaskGenerator(spec, grid, seed=seed)
+    enc_max = pred_max = 0
+    for _ in range(iters):
+        enc, pred = gen(batch_size)
+        enc_max = max(enc_max, enc.shape[1])
+        pred_max = max(pred_max, pred.shape[1])
+
+    def cap(k):
+        c = int(np.ceil(k * headroom / multiple) * multiple)
+        return min(max(c, multiple), grid.n)
+
+    return cap(enc_max), cap(pred_max)
+
+
 def _sample_block_size(rng, spec: MaskSpec, grid: MaskGrid):
     """Per-step block geometry (t, h, w) in tokens; traced, shared across batch.
 

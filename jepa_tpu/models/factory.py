@@ -78,6 +78,7 @@ def predictor_cfg_for(
     use_mask_tokens: bool = True,
     num_mask_tokens: int = 2,
     zero_init_mask_tokens: bool = True,
+    remat=None,
 ) -> PredictorCfg:
     """Predictor sized from the encoder (reference app/vjepa/utils.py:108-125)."""
     return PredictorCfg(
@@ -95,5 +96,5 @@ def predictor_cfg_for(
         zero_init_mask_tokens=zero_init_mask_tokens,
         compute_dtype=enc.compute_dtype,
         attn_impl=enc.attn_impl,
-        remat=enc.remat,
+        remat=enc.remat if remat is None else remat,
     )

@@ -42,9 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 _LSE_LANES = 8
 _SUBLANES = 8
-# VMEM budgets for choosing q/k block sizes ([block, nk_pad] fp32 temps).
-_FWD_TEMP_BUDGET = 8 * 2**20   # ~2 score-sized temps live in fwd
-_BWD_TEMP_BUDGET = 10 * 2**20  # ~4 score-sized temps live in bwd
+# VMEM budgets for choosing q/k block sizes. The _pick_block fit test
+# charges 16 bytes per score element (four fp32 score-sized temps, the bwd
+# kernels' real footprint; Mosaic's scoped-vmem stack limit is 16MB and
+# operands/lse take the remainder). fwd holds ~2.5 temps, so it gets a
+# larger budget under the same formula.
+_FWD_TEMP_BUDGET = 18 * 2**20
+_BWD_TEMP_BUDGET = 11 * 2**20 + 2**19  # 11.5MB
 _MAX_NK_PAD = 8192             # beyond this, fall back to XLA attention
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512  # kept for API compat; single-pass ignores it
@@ -64,7 +68,7 @@ def _pick_block(n: int, other_len_pad: int, budget: int, requested: int):
     every kernel call, seen in the round-2 xplane trace). Falls back to a
     halving 128-multiple block with round-up padding."""
     n128 = _round_up(n, 128)
-    fits = lambda blk: blk * other_len_pad * 4 * 2 <= budget
+    fits = lambda blk: blk * other_len_pad * 16 <= budget
     for k in range(1, 65):
         if n128 % k:
             continue
@@ -87,13 +91,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, nk_real, has_mask):
         mask_ref, o_ref, lse_ref = rest
     else:
         o_ref, lse_ref = rest
-    q = q_ref[0, 0]  # [bq, d], input dtype
+    # scale folds into q BEFORE the matmul: one [bq, d] pass instead of a
+    # full [bq, nk] fp32 pass over the scores (the softmax path is VPU-bound)
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [bq, d]
     k = k_ref[0, 0]  # [nk_pad, d]
     v = v_ref[0, 0]
     nk_pad = k.shape[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # fp32 accumulation
+    )  # fp32 accumulation
     if has_mask:
         s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
     elif nk_pad != nk_real:
@@ -162,7 +168,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         mask_ref, dq_ref = rest
     else:
         (dq_ref,) = rest
-    q = q_ref[0, 0]
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # scale folded
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
@@ -171,7 +177,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
     nk_pad = k.shape[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     if has_mask:
         s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
     elif nk_pad != nk_real:
@@ -194,7 +200,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         mask_ref, dk_ref, dv_ref = rest
     else:
         dk_ref, dv_ref = rest
-    q = q_ref[0, 0]       # [nq_pad, d]
+    # scale folded into q: st is scaled via the matmul, AND dk = dst @ (s*q)
+    # absorbs the ds*scale term — two fp32 score-sized passes saved
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [nq_pad, d]
     k = k_ref[0, 0]       # [bk, d]
     v = v_ref[0, 0]
     do = do_ref[0, 0]     # [nq_pad, d]
@@ -203,7 +211,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
     # transposed scores: [bk, nq_pad]
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     if has_mask:
         # column-layout mask [bk, 8lanes]: sublane-aligned, no in-kernel
         # transpose (the row-layout .T pattern failed Mosaic compilation)
@@ -216,7 +224,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
     dpt = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bk, nq_pad]
-    dst = (pt * (dpt - delta[:, 0][None, :]) * scale).astype(q.dtype)
+    # no *scale here: q is pre-scaled, so dk = dst @ (scale*q) absorbs it
+    dst = (pt * (dpt - delta[:, 0][None, :])).astype(q.dtype)
     dk = jax.lax.dot_general(
         dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )

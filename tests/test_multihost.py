@@ -80,3 +80,125 @@ def test_two_process_distributed_init(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-2000:]}"
         assert f"RANK{rank} OK world=2 sum=24.0" in out
+
+
+_TRAIN_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=" + os.environ["NDEV"]
+sys.path = [p for p in sys.path if ".axon_site" not in p]
+sys.path.insert(0, os.environ["REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import yaml
+from jepa_tpu.apps.vjepa.train import main
+cfg = yaml.safe_load(open(os.environ["CFG"]))
+main(cfg)
+print("TRAIN_OK", flush=True)
+"""
+
+
+def _mh_cfg(folder):
+    return {
+        "app": "vjepa",
+        "meta": {"seed": 3, "dtype": "float32", "mask_mode": "fixed",
+                 "remat": False, "load_checkpoint": False},
+        "model": {"model_name": "vit_tiny", "pred_depth": 1,
+                  "pred_embed_dim": 48, "uniform_power": True,
+                  "use_mask_tokens": True, "zero_init_mask_tokens": True},
+        "data": {
+            "dataset_type": "synthetic", "num_synthetic_videos": 8,
+            "datasets": [], "batch_size": 1, "num_clips": 1,
+            # clip_len = 4*76 = 304 > the synthetic 300 frames, so clip
+            # index sampling takes the DETERMINISTIC branch — frames are
+            # identical regardless of per-rank dataset rng state
+            "num_frames": 4, "sampling_rate": 76,
+            "tubelet_size": 2, "crop_size": 32, "patch_size": 16,
+            "num_workers": 1,
+        },
+        "data_aug": {"random_resize_scale": [0.9, 1.0],
+                     "random_resize_aspect_ratio": [1.0, 1.0]},
+        "loss": {"loss_exp": 1.0, "reg_coeff": 0.0},
+        "optimization": {"ipe": 3, "epochs": 1, "warmup": 1, "lr": 1e-3,
+                         "start_lr": 1e-4, "final_lr": 1e-5,
+                         "weight_decay": 0.04, "final_weight_decay": 0.4,
+                         "ema": [0.99, 1.0]},
+        "logging": {"folder": folder, "write_tag": "mh"},
+        "mask": [
+            {"num_blocks": 2, "spatial_scale": [0.4, 0.4],
+             "aspect_ratio": [1.0, 1.0], "temporal_scale": [1.0, 1.0]},
+            {"num_blocks": 1, "spatial_scale": [0.7, 0.7],
+             "aspect_ratio": [1.0, 1.0], "temporal_scale": [1.0, 1.0]},
+        ],
+    }
+
+
+def _read_losses(csv_path):
+    rows = [l.split(",") for l in open(csv_path).read().strip().splitlines()[1:]]
+    return [float(r[2]) for r in rows]
+
+
+@pytest.mark.timeout(420)
+def test_two_process_train_matches_single_process(tmp_path):
+    """VERDICT round-1 item 3: the REAL train app, run as 2 processes x 1
+    device (global batch assembled via make_array_from_process_local_data),
+    must produce the same per-step losses as 1 process x 2 devices.
+
+    Pairing note: per-rank batch_size=1 puts rank r's sample at global
+    position r, exactly matching the single-process batch order, so losses
+    are comparable step by step."""
+    import json
+    import yaml
+
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    port_num = port.getsockname()[1]
+    port.close()
+
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    env_base = {k: v for k, v in os.environ.items() if ".axon_site" not in v}
+
+    # --- run A: 2 processes, 1 device each, SLURM-style env rendezvous ---
+    cfg_a = _mh_cfg(str(tmp_path / "runA"))
+    cfg_a_path = tmp_path / "cfg_a.yaml"
+    cfg_a_path.write_text(yaml.safe_dump(cfg_a))
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env.update(
+            REPO=os.getcwd(), CFG=str(cfg_a_path), NDEV="1", PYTHONPATH="",
+            SLURM_NTASKS="2", SLURM_PROCID=str(rank),
+            MASTER_ADDR="localhost", MASTER_PORT=str(port_num),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=360)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and "TRAIN_OK" in out, \
+            f"rank {rank} failed:\n{out[-3000:]}"
+
+    # --- run B: 1 process, 2 devices ---
+    cfg_b = _mh_cfg(str(tmp_path / "runB"))
+    cfg_b_path = tmp_path / "cfg_b.yaml"
+    cfg_b_path.write_text(yaml.safe_dump(cfg_b))
+    env = dict(env_base)
+    env.update(REPO=os.getcwd(), CFG=str(cfg_b_path), NDEV="2", PYTHONPATH="")
+    env.pop("SLURM_NTASKS", None)
+    p = subprocess.Popen(
+        [sys.executable, str(worker)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    out, _ = p.communicate(timeout=360)
+    assert p.returncode == 0 and "TRAIN_OK" in out, out[-3000:]
+
+    la0 = _read_losses(tmp_path / "runA" / "mh_r0.csv")
+    la1 = _read_losses(tmp_path / "runA" / "mh_r1.csv")
+    lb = _read_losses(tmp_path / "runB" / "mh_r0.csv")
+    assert len(lb) == 3 and len(la0) == 3
+    # both ranks log the same GLOBAL loss, equal to the single-process run
+    import numpy as np
+    np.testing.assert_allclose(la0, la1, atol=1e-6)
+    np.testing.assert_allclose(la0, lb, atol=5e-5)
