@@ -100,6 +100,14 @@ def block_forward(x, p, cfg: BlockCfg, kv_mask=None):
     return x + mlp(y, p["mlp"], cfg)
 
 
+def _save_flash_residuals(prim, *_, **__):
+    """Checkpoint policy: save the (o, lse) outputs of optimize_remat
+    custom_vjp forwards (the Pallas flash-attention kernels) so the backward
+    pass never re-runs the forward kernel — only LN/matmul/MLP recompute.
+    ~22-34MB/layer at production shapes vs re-running the VPU-bound kernel."""
+    return prim.name == "remat_opt"
+
+
 def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, remat=False):
     """Run a stacked block pytree with lax.scan.
 
@@ -121,11 +129,9 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, re
     # prevent_cse=False is safe (and recommended) under scan and measured
     # ~7% faster f+b on-chip than the default CSE barrier.
     if remat == "attn":
-        body = jax.checkpoint(
-            body,
-            prevent_cse=False,
-            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
-        )
+        # Save ONLY the flash kernels' (o, lse): the post-proj attn_out is
+        # one matmul away from saved o, so naming it too just burns HBM.
+        body = jax.checkpoint(body, prevent_cse=False, policy=_save_flash_residuals)
     elif remat:
         body = jax.checkpoint(body, prevent_cse=False)
     final, layers = jax.lax.scan(body, x, stacked)

@@ -307,57 +307,67 @@ def _core_call(q, k, v, mask, meta):
     return _fwd(q, k, v, mask, scale, block_q, interpret, nk_real)
 
 
+# Both custom_vjps return (o, lse) as PRIMAL outputs and declare the
+# residuals (q, k, v, o, lse) with ``optimize_remat=True``: every residual
+# then aliases a primal input or output, so under jax.checkpoint with a
+# policy that saves the fwd's outputs (transformer.run_blocks remat='attn'),
+# the backward pass consumes the SAVED (o, lse) instead of re-running the
+# forward kernel — the named-residual design BENCH.md round 2 called for.
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_nomask(meta, q, k, v):
-    o, _ = _core_call(q, k, v, None, meta)
-    return o
+    return _core_call(q, k, v, None, meta)
 
 
 def _flash_nomask_fwd(meta, q, k, v):
     o, lse = _core_call(q, k, v, None, meta)
-    return o, (q, k, v, o, lse)
+    return (o, lse), (q, k, v, o, lse)
 
 
-def _flash_nomask_bwd(meta, res, do):
+def _flash_nomask_bwd(meta, res, cts):
     scale, block_q, block_k, interpret, nk_real = meta
     q, k, v, o, lse = res
+    do, _ = cts  # lse is an auxiliary output; its cotangent is dead
     dq, dk, dv = _bwd(q, k, v, None, o, lse, do, scale, block_q, block_k,
                       interpret, nk_real)
     return dq, dk, dv
 
 
-_flash_nomask.defvjp(_flash_nomask_fwd, _flash_nomask_bwd)
+_flash_nomask.defvjp(_flash_nomask_fwd, _flash_nomask_bwd, optimize_remat=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_masked(meta, q, k, v, mask):
-    o, _ = _core_call(q, k, v, mask, meta)
-    return o
+    return _core_call(q, k, v, mask, meta)
 
 
 def _flash_masked_fwd(meta, q, k, v, mask):
     o, lse = _core_call(q, k, v, mask, meta)
-    return o, (q, k, v, mask, o, lse)
+    return (o, lse), (q, k, v, mask, o, lse)
 
 
-def _flash_masked_bwd(meta, res, do):
+def _flash_masked_bwd(meta, res, cts):
     scale, block_q, block_k, interpret, nk_real = meta
     q, k, v, mask, o, lse = res
+    do, _ = cts
     dq, dk, dv = _bwd(q, k, v, mask, o, lse, do, scale, block_q, block_k,
                       interpret, nk_real)
     dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dmask
 
 
-_flash_masked.defvjp(_flash_masked_fwd, _flash_masked_bwd)
+_flash_masked.defvjp(_flash_masked_fwd, _flash_masked_bwd, optimize_remat=True)
 
 # custom_vjp nondiff argnums must come first; wrap so meta is arg 0
 def _flash_nomask_call(q, k, v, meta):
-    return _flash_nomask(meta, q, k, v)
+    o, _ = _flash_nomask(meta, q, k, v)
+    return o
 
 
 def _flash_masked_call(q, k, v, mask, meta):
-    return _flash_masked(meta, q, k, v, mask)
+    o, _ = _flash_masked(meta, q, k, v, mask)
+    return o
 
 
 # ---------------------------------------------------------------------------

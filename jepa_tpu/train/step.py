@@ -169,7 +169,13 @@ def build_train_step(
                 )
                 preds.append(p)
             l_jepa = jepa_loss(preds, targets, train_cfg.loss_exp, pred_w)
-            l_reg = variance_reg(preds, pred_w)
+            # reg_coeff == 0.0 (the shipped configs): the reg grad path is
+            # mathematically zero, but leaving it live gives every pred two
+            # cotangent consumers across the bwd, which at ViT-L scale costs
+            # ~8GB of XLA temp buffers under selective remat. stop_gradient
+            # keeps the metric and kills the dead path.
+            reg_in = preds if train_cfg.reg_coeff != 0.0 else jax.lax.stop_gradient(preds)
+            l_reg = variance_reg(reg_in, pred_w)
             loss = l_jepa + train_cfg.reg_coeff * l_reg
             return loss, (l_jepa, l_reg)
 

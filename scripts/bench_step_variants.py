@@ -18,14 +18,14 @@ import jax.numpy as jnp
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build(pred_remat):
+def build(pred_remat, enc_remat=True):
     from jepa_tpu.masks.multiblock3d import MaskGrid, MaskSpec, calibrate_keep_counts
     from jepa_tpu.models.factory import predictor_cfg_for, vit_cfg
     from jepa_tpu.train.step import TrainCfg, build_train_step, init_train_state
     from jepa_tpu.utils.schedulers import build_schedules
 
     enc_cfg = vit_cfg("vit_large", img_size=224, num_frames=16, tubelet_size=2,
-                      uniform_power=True, remat=True)
+                      uniform_power=True, remat=enc_remat)
     pred_cfg = predictor_cfg_for(enc_cfg, predictor_embed_dim=384, depth=12,
                                  num_mask_tokens=2, remat=pred_remat)
     grid = MaskGrid.from_data_cfg(224, enc_cfg.patch_size, 16, 2)
@@ -50,10 +50,22 @@ def build(pred_remat):
 
 
 def main():
+    import sys as _sys
+
+    variants = [
+        (True, True),        # r2 baseline: full remat everywhere
+        (True, "attn"),      # predictor saves flash (o, lse)
+        ("attn", "attn"),    # ctx encoder saves them too
+        ("attn", False),     # predictor activations fully saved
+    ]
+    if len(_sys.argv) > 1:  # e.g. "attn,attn" to run one variant
+        e, p = _sys.argv[1].split(",")
+        cv = lambda s: {"True": True, "False": False}.get(s, s)
+        variants = [(cv(e), cv(p))]
     clips = jax.random.normal(jax.random.PRNGKey(1), (24, 16, 224, 224, 3), jnp.bfloat16)
-    for pred_remat in (True, "attn", False):
+    for enc_remat, pred_remat in variants:
         try:
-            fn, state = build(pred_remat)
+            fn, state = build(pred_remat, enc_remat)
             st = jax.device_put(state)
             st, m = fn(st, {"clips": clips})
             jax.block_until_ready(m["loss"])
@@ -62,11 +74,12 @@ def main():
                 st, m = fn(st, {"clips": clips})
             jax.block_until_ready(m["loss"])
             dt = (time.perf_counter() - t0) / 8
-            print(f"pred_remat={pred_remat!r:8} step {dt*1000:8.1f} ms "
-                  f"({24/dt:.2f} clips/s)")
+            print(f"enc={enc_remat!r:7} pred={pred_remat!r:7} step {dt*1000:8.1f} ms "
+                  f"({24/dt:.2f} clips/s) loss={float(m['loss']):.4f}", flush=True)
             del st, fn
         except Exception as e:
-            print(f"pred_remat={pred_remat!r:8} FAILED: {str(e).splitlines()[0][:100]}")
+            print(f"enc={enc_remat!r:7} pred={pred_remat!r:7} FAILED: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
 
 
 if __name__ == "__main__":

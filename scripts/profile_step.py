@@ -31,7 +31,7 @@ def build_step():
     enc_cfg = vit_cfg("vit_large", img_size=224, num_frames=16, tubelet_size=2,
                       uniform_power=True, remat=True)
     pred_cfg = predictor_cfg_for(enc_cfg, predictor_embed_dim=384, depth=12,
-                                 num_mask_tokens=2)
+                                 num_mask_tokens=2, remat="attn")
     grid = MaskGrid.from_data_cfg(224, enc_cfg.patch_size, 16, 2)
     specs = [
         MaskSpec(num_blocks=8, spatial_scale=(0.15, 0.15), aspect_ratio=(0.75, 1.5)),
