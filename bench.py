@@ -65,7 +65,8 @@ def main():
         uniform_power=True, remat=not on_cpu,
     )
     pred_cfg = predictor_cfg_for(enc_cfg, predictor_embed_dim=384 if not on_cpu else 96,
-                                 depth=12 if not on_cpu else 2, num_mask_tokens=2)
+                                 depth=12 if not on_cpu else 2, num_mask_tokens=2,
+                                 remat="attn" if not on_cpu else False)
     grid = MaskGrid.from_data_cfg(crop, enc_cfg.patch_size, frames, 2)
     specs = [
         MaskSpec(num_blocks=8, spatial_scale=(0.15, 0.15), aspect_ratio=(0.75, 1.5)),

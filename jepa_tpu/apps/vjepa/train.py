@@ -154,6 +154,10 @@ def main(args: dict, resume_preempt: bool = False):
         use_mask_tokens=use_mask_tokens,
         num_mask_tokens=len(cfgs_mask),
         zero_init_mask_tokens=zero_init_mask_tokens,
+        # selective remat: save the flash kernels' (o, lse) across the scan
+        # so the predictor backward never re-runs the attention forward
+        # (~2% step win for ~0.8GB HBM at ViT-L/b24; meta.pred_remat opts out)
+        remat=cfgs_meta.get("pred_remat", "attn" if cfgs_meta.get("remat", True) else False),
     )
     state, consts = init_train_state(jax.random.PRNGKey(seed), enc_cfg, pred_cfg)
     n_enc = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state["params"]["encoder"]))

@@ -75,11 +75,41 @@ def mlp(x, p, cfg: BlockCfg):
 
 
 def self_attention(x, p, cfg: BlockCfg, kv_mask=None):
-    """Fused-QKV multi-head self-attention. x: [B, N, D]."""
+    """Fused-QKV multi-head self-attention. x: [B, N, D].
+
+    Flash path: q/k/v are produced HEAD-MAJOR ([3, B, H, N, Dh]) straight
+    out of the qkv projection and o is consumed head-major by the output
+    projection, so the [B,N,H,D] <-> [B,H,N,D] relayouts fold into the
+    matmuls instead of costing separate HBM copy passes (the round-2 xplane
+    showed ~43 ms/step of %copy around the target encoder's attention
+    alone)."""
     b, n, d = x.shape
     h = cfg.num_heads
     hd = d // h
-    qkv = linear(x, {"w": p["qkv_w"], "b": p["qkv_b"]}, cfg.compute_dtype)
+    cd = cfg.compute_dtype
+    from jepa_tpu.ops.attention import resolve_flash
+
+    if resolve_flash(cfg.attn_impl, n, n):
+        from jepa_tpu.ops.flash_attention import flash_attention_packed
+
+        w = p["qkv_w"].astype(cd).reshape(d, 3, h, hd)
+        bias = p["qkv_b"].astype(jnp.float32).reshape(3, 1, h, 1, hd)
+        qkv = jnp.einsum(
+            "bnd,dshc->sbhnc", x.astype(cd), w,
+            preferred_element_type=jnp.float32,
+        )
+        qkv = (qkv + bias).astype(cd)
+        out = flash_attention_packed(
+            qkv, kv_mask=kv_mask, scale=cfg.qk_scale
+        )  # [B, H, N, Dh]
+        wp = p["proj_w"].astype(cd).reshape(h, hd, d)
+        y = jnp.einsum(
+            "bhnc,hcd->bnd", out.astype(cd), wp,
+            preferred_element_type=jnp.float32,
+        )
+        return (y + p["proj_b"].astype(jnp.float32)).astype(cd)
+
+    qkv = linear(x, {"w": p["qkv_w"], "b": p["qkv_b"]}, cd)
     qkv = qkv.reshape(b, n, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     out = dot_product_attention(

@@ -51,6 +51,19 @@ def xla_attention(
     return out.astype(v.dtype)
 
 
+def resolve_flash(impl: str, nq: int, nk: int) -> bool:
+    """Trace-time decision: does this (impl, shape) combination run the
+    Pallas flash kernel? Lets callers pick the operand layout (head-major
+    for flash, token-major for XLA) before projecting q/k/v."""
+    if impl == "xla":
+        return False
+    if impl == "flash":
+        return True
+    if impl == "auto":
+        return _on_tpu() and nq >= 128 and nk >= 128
+    raise ValueError(f"unknown attention impl: {impl}")
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -59,27 +72,14 @@ def dot_product_attention(
     scale: Optional[float] = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatching attention. impl: 'auto' | 'xla' | 'flash'.
+    """Dispatching attention over token-major [B, N, H, Dh] operands.
+    impl: 'auto' | 'xla' | 'flash'. 'auto' picks the Pallas flash kernel on
+    TPU when shapes qualify and the XLA path otherwise."""
+    if resolve_flash(impl, q.shape[1], k.shape[1]):
+        from jepa_tpu.ops.flash_attention import flash_attention
 
-    'auto' picks the Pallas flash kernel on TPU when shapes qualify and the
-    XLA path otherwise.
-    """
-    if impl == "xla":
-        return xla_attention(q, k, v, kv_mask=kv_mask, scale=scale)
-    if impl in ("auto", "flash"):
-        use_flash = impl == "flash"
-        if impl == "auto":
-            use_flash = _on_tpu() and _flash_supported(q, k)
-        if use_flash:
-            try:
-                from jepa_tpu.ops.flash_attention import flash_attention
-            except ImportError:
-                if impl == "flash":
-                    raise
-            else:
-                return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale)
-        return xla_attention(q, k, v, kv_mask=kv_mask, scale=scale)
-    raise ValueError(f"unknown attention impl: {impl}")
+        return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale)
+    return xla_attention(q, k, v, kv_mask=kv_mask, scale=scale)
 
 
 @functools.lru_cache(maxsize=1)
@@ -90,7 +90,3 @@ def _on_tpu() -> bool:
         return False
 
 
-def _flash_supported(q, k) -> bool:
-    # Flash kernel requires seq lens it can tile; small sequences (the
-    # 1-query attentive probe) stay on the XLA path where they're trivial.
-    return q.shape[1] >= 128 and k.shape[1] >= 128

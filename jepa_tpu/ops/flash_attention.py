@@ -2,27 +2,37 @@
 
 Replaces cuDNN SDPA (reference: src/models/utils/modules.py:66-69) for the
 hot self-attention over 1100-4600 video tokens. Design per the TPU kernel
-playbook, v2 (round-2 rewrite after an on-chip shootout):
+playbook, v3 (round-2 relayout rewrite after xplane analysis):
 
   * MATMULS RUN IN THE INPUT DTYPE (bf16 in production) with fp32
     accumulation — the v1 kernel cast operands to fp32 first, which made
-    every dot an fp32 MXU op (~8-12x slower measured on v5e: predictor
-    shapes 89.5 -> 7.1 ms fwd). Softmax math stays fp32.
+    every dot an fp32 MXU op (~8-12x slower measured on v5e). Softmax math
+    stays fp32.
   * SINGLE-PASS softmax: at V-JEPA sequence lengths the whole K/V for one
     head fits VMEM, so each q-block computes its full score row in one shot
     (no online rescale bookkeeping, ~10% over the online loop). Sequences
-    longer than _MAX_NK_PAD fall back to XLA attention.
-  * HEAD-MAJOR [B, H, N, D] blocks with NO head-dim padding in HBM: D=24
-    (predictor) and D=64 (encoder) blocks are legal because the block's
-    last dim equals the array dim; Mosaic lane-pads in VMEM for free. The
-    v1 kernel materialized zero-padded [B*H, N, 128] copies of q/k/v/o per
-    layer.
-  * Key padding (nq/nk not block multiples) is masked with a compile-time
-    iota comparison — no mask DMA unless the caller passes a real kv_mask.
+    longer than _MAX_NK fall back to XLA attention.
+  * TRUE-SHAPE operands, head-major [B, H, N, D]: v2 padded N in HBM
+    (1568 -> 1664) and sliced the pad back off around every kernel; the
+    round-2 xplane showed ~34 ms/step of %pad + %slice in the ViT-L target
+    forward alone. v3 passes unpadded arrays and relies on Mosaic's
+    edge-block masking (grid = ceil(N / block)); the only padding left is
+    Mosaic's free lane padding in VMEM. No head-dim padding either: D=24
+    (predictor) / 64 (encoder) blocks are legal because the block's last
+    dim equals the array dim.
+  * Key masking: a real ``kv_mask`` rides an 8-sublane VMEM block; without
+    one no masking is needed at all (true key length, Mosaic-safe
+    reductions).
   * lse/delta ride [B, H, Nq, 8] (8-lane) blocks, not 128-lane broadcasts.
   * backward = two kernels: dQ over q-blocks, dK/dV over k-blocks, using
     the standard ds = p * (dp - delta) recurrence with delta = rowsum(dO*O)
     precomputed by XLA.
+  * The custom_vjps return (o, lse) as PRIMAL outputs and declare residuals
+    (q, k, v, o, lse) with ``optimize_remat=True``: every residual aliases
+    a primal input or output, so under jax.checkpoint with a policy that
+    saves the fwd's outputs (transformer.run_blocks remat='attn') the
+    backward consumes the SAVED (o, lse) instead of re-running the forward
+    kernel.
 
 Non-TPU backends run the kernels in interpret mode (tests); production CPU
 paths should use ops.attention.xla_attention instead.
@@ -49,7 +59,7 @@ _SUBLANES = 8
 # larger budget under the same formula.
 _FWD_TEMP_BUDGET = 18 * 2**20
 _BWD_TEMP_BUDGET = 11 * 2**20 + 2**19  # 11.5MB
-_MAX_NK_PAD = 8192             # beyond this, fall back to XLA attention
+_MAX_NK = 8192                 # beyond this, fall back to XLA attention
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512  # kept for API compat; single-pass ignores it
 
@@ -58,27 +68,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_block(n: int, other_len_pad: int, budget: int, requested: int):
-    """(block, n_pad) for blocking an axis of true length ``n``.
+def _cdiv(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def _pick_block(n: int, other_len: int, budget: int, requested: int):
+    """Block size for tiling an axis of true length ``n``.
 
     Prefers the largest 8-multiple block that EXACTLY divides the
-    128-rounded length and fits the VMEM budget — e.g. N=1568 -> (416,
-    1664) instead of (512, 2048): a naive 128-multiple block forced XLA to
-    pad 1568->2048 (+30% rows of pure waste plus %pad/%slice copies around
-    every kernel call, seen in the round-2 xplane trace). Falls back to a
-    halving 128-multiple block with round-up padding."""
+    128-rounded length and fits the VMEM budget — e.g. N=1568 -> 416 (so
+    ceil(1568/416)=4 blocks cover 1664 rows, 6% edge waste) instead of 512
+    (4 blocks cover 2048, +30% rows of pure compute waste on the masked
+    edge). Falls back to a halving 128-multiple block. VMEM cost is charged
+    at the 128-rounded ``other_len`` (Mosaic lane padding is physical)."""
     n128 = _round_up(n, 128)
-    fits = lambda blk: blk * other_len_pad * 16 <= budget
+    other_pad = _round_up(other_len, 128)
+    fits = lambda blk: blk * other_pad * 16 <= budget
     for k in range(1, 65):
         if n128 % k:
             continue
         blk = n128 // k
         if blk % 8 == 0 and blk <= requested and (fits(blk) or blk == 128):
-            return blk, n128
+            return blk
     blk = max(128, (requested // 128) * 128)
     while blk > 128 and not fits(blk):
         blk //= 2
-    return blk, _round_up(n, blk)
+    return blk
 
 
 # ---------------------------------------------------------------------------
@@ -86,25 +101,28 @@ def _pick_block(n: int, other_len_pad: int, budget: int, requested: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, nk_real, has_mask):
+def _mat(ref):
+    """Collapse a block ref's leading singleton dims to a [rows, d] matrix.
+    Works for both separate rank-4 blocks (1,1,n,d) and packed-qkv rank-5
+    blocks (1,1,1,n,d)."""
+    return ref[(0,) * (len(ref.shape) - 2)]
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_mask):
     if has_mask:
         mask_ref, o_ref, lse_ref = rest
     else:
         o_ref, lse_ref = rest
     # scale folds into q BEFORE the matmul: one [bq, d] pass instead of a
     # full [bq, nk] fp32 pass over the scores (the softmax path is VPU-bound)
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [bq, d]
-    k = k_ref[0, 0]  # [nk_pad, d]
-    v = v_ref[0, 0]
-    nk_pad = k.shape[0]
+    q = (_mat(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)  # [bq, d]
+    k = _mat(k_ref)  # [nk, d]
+    v = _mat(v_ref)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # fp32 accumulation
     if has_mask:
         s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
-    elif nk_pad != nk_real:
-        valid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < nk_real
-        s = jnp.where(valid, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -118,38 +136,68 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, nk_real, has_mask):
     lse_ref[0, 0] = jax.lax.broadcast_in_dim(lse, (q.shape[0], _LSE_LANES), (0,))
 
 
-def _fwd(q, k, v, mask, scale, block_q, interpret, nk_real):
-    """q,k,v: [B,H,N,D] (padded); mask: [B,8,Nk] or None.
-    Returns (o [B,H,Nq,D], lse [B,H,Nq,8])."""
-    b, h, nq, d = q.shape
-    nk_pad = k.shape[2]
-    grid = (b, h, nq // block_q)
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, nk_real=nk_real, has_mask=mask is not None
-    )
-    qspec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+def _qkv_specs(qkv_args, block_q, nk, d):
+    """(args, q_spec, k_spec, v_spec) for separate [B,H,N,D] q/k/v arrays
+    or a packed [3,B,H,N,D] array.
+
+    Packed mode passes the SAME array three times with plane-selecting
+    index maps: XLA hands the kernel one buffer with three DMA streams, so
+    the q/k/v split copies disappear (the round-2 xplane showed ~85 ms/step
+    of %slice_bitcast_fusion materializing separate pallas operands)."""
+    if isinstance(qkv_args, tuple):  # separate arrays
+        q, k, v = qkv_args
+        qspec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+                             memory_space=pltpu.VMEM)
+        kvspec = pl.BlockSpec((1, 1, nk, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return [q, k, v], qspec, kvspec, kvspec
+    qkv = qkv_args  # [3, B, H, N, D]
+    qspec = pl.BlockSpec((1, 1, 1, block_q, d),
+                         lambda b_, h_, i: (0, b_, h_, i, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, 1, nk_pad, d), lambda b_, h_, i: (b_, h_, 0, 0),
-                          memory_space=pltpu.VMEM)
-    in_specs = [qspec, kvspec, kvspec]
-    args = [q, k, v]
+    kspec = pl.BlockSpec((1, 1, 1, nk, d), lambda b_, h_, i: (1, b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 1, 1, nk, d), lambda b_, h_, i: (2, b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return [qkv, qkv, qkv], qspec, kspec, vspec
+
+
+def _shapes(qkv_args):
+    """(b, h, nq, d, nk) for either operand packaging."""
+    if isinstance(qkv_args, tuple):
+        b, h, nq, d = qkv_args[0].shape
+        return b, h, nq, d, qkv_args[1].shape[2]
+    _, b, h, n, d = qkv_args.shape
+    return b, h, n, d, n
+
+
+def _fwd(qkv_args, mask, scale, block_q, interpret):
+    """qkv_args: (q, k, v) [B,H,N,D] true shapes, or packed [3,B,H,N,D].
+    mask: [B,8,Nk] or None. Returns (o [B,H,Nq,D], lse [B,H,Nq,8])."""
+    b, h, nq, d, nk = _shapes(qkv_args)
+    grid = (b, h, _cdiv(nq, block_q))
+    kernel = functools.partial(_fwd_kernel, scale=scale, has_mask=mask is not None)
+    args, qspec, kspec, vspec = _qkv_specs(qkv_args, block_q, nk, d)
+    in_specs = [qspec, kspec, vspec]
     if mask is not None:
         in_specs.append(
-            pl.BlockSpec((1, _SUBLANES, nk_pad), lambda b_, h_, i: (b_, 0, 0),
+            pl.BlockSpec((1, _SUBLANES, nk), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(mask)
+    dtype = args[0].dtype
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            qspec,
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, _LSE_LANES), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nq, d), dtype),
             jax.ShapeDtypeStruct((b, h, nq, _LSE_LANES), jnp.float32),
         ],
         interpret=interpret,
@@ -163,26 +211,22 @@ def _fwd(q, k, v, mask, scale, block_q, interpret, nk_real):
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
-               scale, nk_real, has_mask):
+               scale, has_mask):
     if has_mask:
         mask_ref, dq_ref = rest
     else:
         (dq_ref,) = rest
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # scale folded
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+    q = (_mat(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)  # scale folded
+    k = _mat(k_ref)
+    v = _mat(v_ref)
     do = do_ref[0, 0]
     lse = lse_ref[0, 0][:, 0:1]
     delta = delta_ref[0, 0][:, 0:1]
-    nk_pad = k.shape[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if has_mask:
         s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
-    elif nk_pad != nk_real:
-        valid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < nk_real
-        s = jnp.where(valid, s, _NEG_INF)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -202,13 +246,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         dk_ref, dv_ref = rest
     # scale folded into q: st is scaled via the matmul, AND dk = dst @ (s*q)
     # absorbs the ds*scale term — two fp32 score-sized passes saved
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [nq_pad, d]
-    k = k_ref[0, 0]       # [bk, d]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]     # [nq_pad, d]
-    lse = lse_ref[0, 0][:, 0:1]    # [nq_pad, 1]
+    q = (_mat(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)  # [nq, d]
+    k = _mat(k_ref)       # [bk, d]
+    v = _mat(v_ref)
+    do = do_ref[0, 0]     # [nq, d]
+    lse = lse_ref[0, 0][:, 0:1]    # [nq, 1]
     delta = delta_ref[0, 0][:, 0:1]
-    # transposed scores: [bk, nq_pad]
+    # transposed scores: [bk, nq]
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -223,7 +267,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
     )
     dpt = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bk, nq_pad]
+    )  # [bk, nq]
     # no *scale here: q is pre-scaled, so dk = dst @ (scale*q) absorbs it
     dst = (pt * (dpt - delta[:, 0][None, :])).astype(q.dtype)
     dk = jax.lax.dot_general(
@@ -233,46 +277,73 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, mask, o, lse, do, scale, block_q, block_k, interpret, nk_real):
-    b, h, nq_pad, d = q.shape
-    nk_pad = k.shape[2]
+def _qkv_specs_bwd(qkv_args, q_blocks, k_blocks, d):
+    """q/k/v args + specs for a bwd kernel. ``q_blocks``/``k_blocks`` are
+    (block, full_len) pairs: block=None means the full axis rides one block.
+    Handles separate [B,H,N,D] arrays and packed [3,B,H,N,D]."""
+    bq, nq = q_blocks
+    bk, nk = k_blocks
+    q_idx = (lambda b_, h_, i: (b_, h_, i, 0)) if bq else (lambda b_, h_, i: (b_, h_, 0, 0))
+    kv_idx = (lambda b_, h_, i: (b_, h_, i, 0)) if bk else (lambda b_, h_, i: (b_, h_, 0, 0))
+    if isinstance(qkv_args, tuple):
+        q, k, v = qkv_args
+        qspec = pl.BlockSpec((1, 1, bq or nq, d), q_idx, memory_space=pltpu.VMEM)
+        kvspec = pl.BlockSpec((1, 1, bk or nk, d), kv_idx, memory_space=pltpu.VMEM)
+        return [q, k, v], qspec, kvspec, kvspec
+    qkv = qkv_args
+
+    def plane(p, idx):
+        return pl.BlockSpec(
+            (1, 1, 1, (bq if p == 0 else bk) or (nq if p == 0 else nk), d),
+            lambda b_, h_, i: (p,) + idx(b_, h_, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    return [qkv, qkv, qkv], plane(0, q_idx), plane(1, kv_idx), plane(2, kv_idx)
+
+
+def _bwd(qkv_args, mask, o, lse, do, scale, block_q, block_k, interpret):
+    b, h, nq, d, nk = _shapes(qkv_args)
+    dtype = do.dtype
     delta_vec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    delta = jax.lax.broadcast_in_dim(
-        delta_vec, (b, h, nq_pad, _LSE_LANES), (0, 1, 2)
-    )
+    delta = jax.lax.broadcast_in_dim(delta_vec, (b, h, nq, _LSE_LANES), (0, 1, 2))
     has_mask = mask is not None
 
-    qspec_blk = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
-                             memory_space=pltpu.VMEM)
+    dospec_blk = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
+                              memory_space=pltpu.VMEM)
     lspec_blk = pl.BlockSpec((1, 1, block_q, _LSE_LANES), lambda b_, h_, i: (b_, h_, i, 0),
                              memory_space=pltpu.VMEM)
-    kvspec_full = pl.BlockSpec((1, 1, nk_pad, d), lambda b_, h_, i: (b_, h_, 0, 0),
-                               memory_space=pltpu.VMEM)
-    in_specs = [qspec_blk, kvspec_full, kvspec_full, qspec_blk, lspec_blk, lspec_blk]
-    args = [q, k, v, do, lse, delta]
+    args3, qspec, kspec, vspec = _qkv_specs_bwd(
+        qkv_args, (block_q, nq), (None, nk), d
+    )
+    in_specs = [qspec, kspec, vspec, dospec_blk, lspec_blk, lspec_blk]
+    args = args3 + [do, lse, delta]
     if has_mask:
         in_specs.append(
-            pl.BlockSpec((1, _SUBLANES, nk_pad), lambda b_, h_, i: (b_, 0, 0),
+            pl.BlockSpec((1, _SUBLANES, nk), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(mask)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, nk_real=nk_real, has_mask=has_mask),
-        grid=(b, h, nq_pad // block_q),
+        functools.partial(_dq_kernel, scale=scale, has_mask=has_mask),
+        grid=(b, h, _cdiv(nq, block_q)),
         in_specs=in_specs,
-        out_specs=qspec_blk,
-        out_shape=jax.ShapeDtypeStruct((b, h, nq_pad, d), q.dtype),
+        out_specs=dospec_blk,
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), dtype),
         interpret=interpret,
     )(*args)
 
-    qspec_full = pl.BlockSpec((1, 1, nq_pad, d), lambda b_, h_, j: (b_, h_, 0, 0),
-                              memory_space=pltpu.VMEM)
-    lspec_full = pl.BlockSpec((1, 1, nq_pad, _LSE_LANES), lambda b_, h_, j: (b_, h_, 0, 0),
+    dospec_full = pl.BlockSpec((1, 1, nq, d), lambda b_, h_, j: (b_, h_, 0, 0),
+                               memory_space=pltpu.VMEM)
+    lspec_full = pl.BlockSpec((1, 1, nq, _LSE_LANES), lambda b_, h_, j: (b_, h_, 0, 0),
                               memory_space=pltpu.VMEM)
     kvspec_blk = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0),
                               memory_space=pltpu.VMEM)
-    in_specs = [qspec_full, kvspec_blk, kvspec_blk, qspec_full, lspec_full, lspec_full]
-    args = [q, k, v, do, lse, delta]
+    args3, qspec, kspec, vspec = _qkv_specs_bwd(
+        qkv_args, (None, nq), (block_k, nk), d
+    )
+    in_specs = [qspec, kspec, vspec, dospec_full, lspec_full, lspec_full]
+    args = args3 + [do, lse, delta]
     if has_mask:
         # column layout for the k-blocked kernel (see _dkv_kernel)
         mask_col = jax.lax.broadcast_in_dim(
@@ -285,12 +356,12 @@ def _bwd(q, k, v, mask, o, lse, do, scale, block_q, block_k, interpret, nk_real)
         args.append(mask_col)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, has_mask=has_mask),
-        grid=(b, h, nk_pad // block_k),
+        grid=(b, h, _cdiv(nk, block_k)),
         in_specs=in_specs,
         out_specs=[kvspec_blk, kvspec_blk],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, nk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, nk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, nk, d), dtype),
+            jax.ShapeDtypeStruct((b, h, nk, d), dtype),
         ],
         interpret=interpret,
     )(*args)
@@ -298,39 +369,30 @@ def _bwd(q, k, v, mask, o, lse, do, scale, block_q, block_k, interpret, nk_real)
 
 
 # ---------------------------------------------------------------------------
-# custom VJP core (operands already in [B,H,N,D] padded layout)
+# custom VJP core (operands already in [B,H,N,D] true-shape layout)
 # ---------------------------------------------------------------------------
 
 
-def _core_call(q, k, v, mask, meta):
-    scale, block_q, block_k, interpret, nk_real = meta
-    return _fwd(q, k, v, mask, scale, block_q, interpret, nk_real)
-
-
-# Both custom_vjps return (o, lse) as PRIMAL outputs and declare the
-# residuals (q, k, v, o, lse) with ``optimize_remat=True``: every residual
-# then aliases a primal input or output, so under jax.checkpoint with a
-# policy that saves the fwd's outputs (transformer.run_blocks remat='attn'),
-# the backward pass consumes the SAVED (o, lse) instead of re-running the
-# forward kernel — the named-residual design BENCH.md round 2 called for.
+def _core_call(qkv_args, mask, meta):
+    scale, block_q, block_k, interpret = meta
+    return _fwd(qkv_args, mask, scale, block_q, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_nomask(meta, q, k, v):
-    return _core_call(q, k, v, None, meta)
+    return _core_call((q, k, v), None, meta)
 
 
 def _flash_nomask_fwd(meta, q, k, v):
-    o, lse = _core_call(q, k, v, None, meta)
+    o, lse = _core_call((q, k, v), None, meta)
     return (o, lse), (q, k, v, o, lse)
 
 
 def _flash_nomask_bwd(meta, res, cts):
-    scale, block_q, block_k, interpret, nk_real = meta
+    scale, block_q, block_k, interpret = meta
     q, k, v, o, lse = res
     do, _ = cts  # lse is an auxiliary output; its cotangent is dead
-    dq, dk, dv = _bwd(q, k, v, None, o, lse, do, scale, block_q, block_k,
-                      interpret, nk_real)
+    dq, dk, dv = _bwd((q, k, v), None, o, lse, do, scale, block_q, block_k, interpret)
     return dq, dk, dv
 
 
@@ -339,40 +401,171 @@ _flash_nomask.defvjp(_flash_nomask_fwd, _flash_nomask_bwd, optimize_remat=True)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_masked(meta, q, k, v, mask):
-    return _core_call(q, k, v, mask, meta)
+    return _core_call((q, k, v), mask, meta)
 
 
 def _flash_masked_fwd(meta, q, k, v, mask):
-    o, lse = _core_call(q, k, v, mask, meta)
+    o, lse = _core_call((q, k, v), mask, meta)
     return (o, lse), (q, k, v, mask, o, lse)
 
 
 def _flash_masked_bwd(meta, res, cts):
-    scale, block_q, block_k, interpret, nk_real = meta
+    scale, block_q, block_k, interpret = meta
     q, k, v, mask, o, lse = res
     do, _ = cts
-    dq, dk, dv = _bwd(q, k, v, mask, o, lse, do, scale, block_q, block_k,
-                      interpret, nk_real)
+    dq, dk, dv = _bwd((q, k, v), mask, o, lse, do, scale, block_q, block_k, interpret)
     dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dmask
 
 
 _flash_masked.defvjp(_flash_masked_fwd, _flash_masked_bwd, optimize_remat=True)
 
-# custom_vjp nondiff argnums must come first; wrap so meta is arg 0
-def _flash_nomask_call(q, k, v, meta):
-    o, _ = _flash_nomask(meta, q, k, v)
-    return o
+
+# Packed variants: one [3, B, H, N, D] operand straight out of the fused qkv
+# projection. The kernels stream q/k/v planes from the SAME buffer, so XLA
+# never materializes separate q/k/v copies for the custom-call.
 
 
-def _flash_masked_call(q, k, v, mask, meta):
-    o, _ = _flash_masked(meta, q, k, v, mask)
-    return o
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_packed(meta, qkv):
+    return _core_call(qkv, None, meta)
+
+
+def _flash_packed_fwd(meta, qkv):
+    o, lse = _core_call(qkv, None, meta)
+    return (o, lse), (qkv, o, lse)
+
+
+def _flash_packed_bwd(meta, res, cts):
+    scale, block_q, block_k, interpret = meta
+    qkv, o, lse = res
+    do, _ = cts
+    dq, dk, dv = _bwd(qkv, None, o, lse, do, scale, block_q, block_k, interpret)
+    return (jnp.stack([dq, dk, dv], axis=0),)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd, optimize_remat=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_packed_masked(meta, qkv, mask):
+    return _core_call(qkv, mask, meta)
+
+
+def _flash_packed_masked_fwd(meta, qkv, mask):
+    o, lse = _core_call(qkv, mask, meta)
+    return (o, lse), (qkv, mask, o, lse)
+
+
+def _flash_packed_masked_bwd(meta, res, cts):
+    scale, block_q, block_k, interpret = meta
+    qkv, mask, o, lse = res
+    do, _ = cts
+    dq, dk, dv = _bwd(qkv, mask, o, lse, do, scale, block_q, block_k, interpret)
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return jnp.stack([dq, dk, dv], axis=0), dmask
+
+
+_flash_packed_masked.defvjp(
+    _flash_packed_masked_fwd, _flash_packed_masked_bwd, optimize_remat=True
+)
 
 
 # ---------------------------------------------------------------------------
-# public wrapper (layout + padding)
+# public wrappers
 # ---------------------------------------------------------------------------
+
+
+def flash_attention_packed(
+    qkv: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash self-attention over a PACKED qkv tensor [3, B, H, N, D] (true,
+    unpadded shapes), as produced head-major by a fused qkv projection.
+    Returns o [B, H, N, D].
+
+    This is the zero-copy entry point for self-attention: the kernels read
+    the q/k/v planes straight from the packed buffer (no split copies, no
+    transposes, no HBM padding)."""
+    _, b, h, n, d = qkv.shape
+    if scale is None:
+        scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if n > _MAX_NK:
+        from jepa_tpu.ops.attention import xla_attention
+
+        t = jnp.transpose(qkv, (0, 1, 3, 2, 4))  # [3,B,N,H,D]
+        o = xla_attention(t[0], t[1], t[2], kv_mask=kv_mask, scale=scale)
+        return jnp.transpose(o, (0, 2, 1, 3))
+
+    eff_block_q = _pick_block(n, n, _BWD_TEMP_BUDGET, block_q)
+    eff_block_k = _pick_block(n, n, _BWD_TEMP_BUDGET, block_k)
+    meta = (float(scale), int(eff_block_q), int(eff_block_k), bool(interpret))
+    if kv_mask is None:
+        o, _ = _flash_packed(meta, qkv)
+    else:
+        mask = jax.lax.broadcast_in_dim(
+            kv_mask.astype(bool), (b, _SUBLANES, n), (0, 2)
+        )
+        o, _ = _flash_packed_masked(meta, qkv, mask)
+    return o.astype(qkv.dtype)
+
+
+def flash_attention_bhnd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention on head-major operands. q/k/v: [B, H, N, D] (true,
+    unpadded shapes); kv_mask: [B, Nk] bool (True = valid key). Returns
+    [B, H, Nq, D] in q's dtype.
+
+    This is the zero-relayout entry point: no transposes, no HBM padding —
+    callers that can produce [B, H, N, D] directly (transformer.py's fused
+    qkv projection) should use it. Matmuls run in the INPUT dtype (pass
+    bf16 for production speed; fp32 inputs give an exact-but-slow kernel
+    for parity tests).
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if nk > _MAX_NK:
+        from jepa_tpu.ops.attention import xla_attention
+
+        o = xla_attention(
+            jnp.transpose(q, (0, 2, 1, 3)),
+            jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)),
+            kv_mask=kv_mask,
+            scale=scale,
+        )
+        return jnp.transpose(o, (0, 2, 1, 3))
+
+    # size blocks for the tighter (bwd) budget so fwd and bwd tile alike
+    eff_block_q = _pick_block(nq, nk, _BWD_TEMP_BUDGET, block_q)
+    eff_block_k = _pick_block(nk, nq, _BWD_TEMP_BUDGET, block_k)
+    meta = (float(scale), int(eff_block_q), int(eff_block_k), bool(interpret))
+    if kv_mask is None:
+        o, _ = _flash_nomask(meta, q, k, v)
+    else:
+        mask = jax.lax.broadcast_in_dim(
+            kv_mask.astype(bool), (b, _SUBLANES, nk), (0, 2)
+        )
+        o, _ = _flash_masked(meta, q, k, v, mask)
+    return o.astype(v.dtype)
 
 
 def flash_attention(
@@ -385,48 +578,17 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Flash attention. q/k/v: [B, N, H, D]; kv_mask: [B, Nk] bool (True =
-    valid key). Returns [B, Nq, H, D] in q's dtype.
-
-    Matmuls run in the INPUT dtype (pass bf16 for production speed; fp32
-    inputs give an exact-but-slow kernel for parity tests). Sequences with
-    padded key length beyond _MAX_NK_PAD fall back to XLA attention.
-    """
-    b, nq, h, d = q.shape
-    nk = k.shape[1]
-    if scale is None:
-        scale = d**-0.5
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-
-    nk_pad = _round_up(nk, 128)
-    if nk_pad > _MAX_NK_PAD:
-        from jepa_tpu.ops.attention import xla_attention
-
-        return xla_attention(q, k, v, kv_mask=kv_mask, scale=scale)
-
-    # one nq padding serves fwd and bwd: size blocks for the tighter (bwd)
-    # budget so both passes block the same padded array
-    eff_block_q, nq_pad = _pick_block(nq, nk_pad, _BWD_TEMP_BUDGET, block_q)
-    block_k, nk_pad = _pick_block(nk, nq_pad, _BWD_TEMP_BUDGET, block_k)
-
-    def to_bhnd(x, n_pad):
-        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, N, D]
-        if n_pad != x.shape[2]:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - x.shape[2]), (0, 0)))
-        return x
-
-    qp = to_bhnd(q, nq_pad)
-    kp = to_bhnd(k, nk_pad)
-    vp = to_bhnd(v, nk_pad)
-
-    meta = (float(scale), int(eff_block_q), int(block_k), bool(interpret), int(nk))
-    if kv_mask is None:
-        # key padding (if any) is handled by a compile-time iota vs nk
-        o = _flash_nomask_call(qp, kp, vp, meta)
-    else:
-        mask = kv_mask.astype(bool)
-        mask = jnp.pad(mask, ((0, 0), (0, nk_pad - nk)))
-        mask = jax.lax.broadcast_in_dim(mask, (b, _SUBLANES, nk_pad), (0, 2))
-        o = _flash_masked_call(qp, kp, vp, mask, meta)
-    return jnp.transpose(o[:, :, :nq, :], (0, 2, 1, 3)).astype(v.dtype)
+    """Flash attention, token-major convenience layout. q/k/v: [B, N, H, D];
+    returns [B, Nq, H, D]. Transposes to/from the head-major kernel layout —
+    hot paths should call :func:`flash_attention_bhnd` instead."""
+    o = flash_attention_bhnd(
+        jnp.transpose(q, (0, 2, 1, 3)),
+        jnp.transpose(k, (0, 2, 1, 3)),
+        jnp.transpose(v, (0, 2, 1, 3)),
+        kv_mask=kv_mask,
+        scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )
+    return jnp.transpose(o, (0, 2, 1, 3))

@@ -78,3 +78,33 @@ def test_bf16_forward_close():
     got = flash_attention(q16, k16, v16, interpret=True).astype(jnp.float32)
     want = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2)
+
+
+def test_self_attention_flash_path_matches_xla():
+    """The head-major fused-qkv flash path in transformer.self_attention
+    (einsum-projected [B,H,N,Dh] operands, no relayout) must agree with the
+    token-major XLA path — values AND grads."""
+    from jepa_tpu.models.transformer import BlockCfg, init_block_stack, run_blocks
+
+    depth = 2
+    base = dict(dim=64, num_heads=4, mlp_hidden=128, compute_dtype=jnp.float32)
+    params = init_block_stack(jax.random.PRNGKey(3), depth, BlockCfg(**base, attn_impl="xla"))
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 192, 64), jnp.float32)
+    mask = jnp.arange(192)[None, :].repeat(2, 0) < 150
+
+    for kv_mask in (None, mask):
+        outs, grads = {}, {}
+        for impl in ("xla", "flash"):
+            cfg = BlockCfg(**base, attn_impl=impl)
+
+            def loss(p, x):
+                out, _ = run_blocks(x, p, cfg, kv_mask=kv_mask)
+                return jnp.sum(out**2), out
+
+            (l, out), g = jax.value_and_grad(loss, has_aux=True)(params, x)
+            outs[impl], grads[impl] = out, g
+        np.testing.assert_allclose(
+            np.asarray(outs["flash"]), np.asarray(outs["xla"]), atol=3e-5, rtol=3e-5
+        )
+        for pa, pb in zip(jax.tree.leaves(grads["flash"]), jax.tree.leaves(grads["xla"])):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=5e-4, rtol=5e-4)
