@@ -52,6 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 _LSE_LANES = 8
 _SUBLANES = 8
+# Softmax runs in base 2: log2(e) folds into the q pre-scale (one [n, d]
+# pass) so every exp over the [nq, nk] score tile is a bare exp2 — the VPU
+# multiply pass per score element that exp(x) = exp2(x * log2e) would need
+# disappears. lse is stored in base-2 units; fwd and bwd agree on it.
+_LOG2E = 1.4426950408889634
 # VMEM budgets for choosing q/k block sizes. The _pick_block fit test
 # charges 16 bytes per score element (four fp32 score-sized temps, the bwd
 # kernels' real footprint; Mosaic's scoped-vmem stack limit is 16MB and
@@ -113,18 +118,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_mask):
         mask_ref, o_ref, lse_ref = rest
     else:
         o_ref, lse_ref = rest
-    # scale folds into q BEFORE the matmul: one [bq, d] pass instead of a
-    # full [bq, nk] fp32 pass over the scores (the softmax path is VPU-bound)
-    q = (_mat(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)  # [bq, d]
+    # scale (and log2e, see _LOG2E) folds into q BEFORE the matmul: one
+    # [bq, d] pass instead of full [bq, nk] fp32 passes over the scores
+    # (the softmax path is VPU-bound)
+    q = (_mat(q_ref).astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     k = _mat(k_ref)  # [nk, d]
     v = _mat(v_ref)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # fp32 accumulation
+    )  # base-2 log-scores, fp32 accumulation
     if has_mask:
         s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -132,7 +138,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_mask):
     )
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0, 0] = (o / l_safe).astype(o_ref.dtype)
-    lse = (m + jnp.log(l_safe))[:, 0]
+    lse = (m + jnp.log2(l_safe))[:, 0]  # base-2 units
     lse_ref[0, 0] = jax.lax.broadcast_in_dim(lse, (q.shape[0], _LSE_LANES), (0,))
 
 
@@ -216,26 +222,27 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         mask_ref, dq_ref = rest
     else:
         (dq_ref,) = rest
-    q = (_mat(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)  # scale folded
+    q = (_mat(q_ref).astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     k = _mat(k_ref)
     v = _mat(v_ref)
     do = do_ref[0, 0]
-    lse = lse_ref[0, 0][:, 0:1]
+    lse = lse_ref[0, 0][:, 0:1]  # base-2 units (see _LOG2E)
     delta = delta_ref[0, 0][:, 0:1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if has_mask:
         s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    # the ds*scale term rides the [bq, d] epilogue, not a [bq, nk] pass
+    ds = (p * (dp - delta)).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
@@ -244,13 +251,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         mask_ref, dk_ref, dv_ref = rest
     else:
         dk_ref, dv_ref = rest
-    # scale folded into q: st is scaled via the matmul, AND dk = dst @ (s*q)
-    # absorbs the ds*scale term — two fp32 score-sized passes saved
-    q = (_mat(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)  # [nq, d]
+    # scale*log2e folded into q: st is pre-scaled via the matmul; dk's
+    # scale correction rides the [bk, d] epilogue (divide out the log2e)
+    q = (_mat(q_ref).astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     k = _mat(k_ref)       # [bk, d]
     v = _mat(v_ref)
     do = do_ref[0, 0]     # [nq, d]
-    lse = lse_ref[0, 0][:, 0:1]    # [nq, 1]
+    lse = lse_ref[0, 0][:, 0:1]    # [nq, 1], base-2 units
     delta = delta_ref[0, 0][:, 0:1]
     # transposed scores: [bk, nq]
     st = jax.lax.dot_general(
@@ -260,7 +267,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         # column-layout mask [bk, 8lanes]: sublane-aligned, no in-kernel
         # transpose (the row-layout .T pattern failed Mosaic compilation)
         st = jnp.where(mask_ref[0][:, 0:1], st, _NEG_INF)
-    pt = jnp.exp(st - lse[:, 0][None, :])
+    pt = jnp.exp2(st - lse[:, 0][None, :])
     ptc = pt.astype(do.dtype)
     dv = jax.lax.dot_general(
         ptc, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -268,12 +275,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
     dpt = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bk, nq]
-    # no *scale here: q is pre-scaled, so dk = dst @ (scale*q) absorbs it
     dst = (pt * (dpt - delta[:, 0][None, :])).astype(q.dtype)
+    # dk = dst @ (q*scale); q carries an extra log2e from the exp2 fold
     dk = jax.lax.dot_general(
         dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dk_ref[0, 0] = (dk * (1.0 / _LOG2E)).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
@@ -302,12 +309,129 @@ def _qkv_specs_bwd(qkv_args, q_blocks, k_blocks, d):
     return [qkv, qkv, qkv], plane(0, q_idx), plane(1, kv_idx), plane(2, kv_idx)
 
 
+def _dqkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                 scale, nsteps, nk, block_k, has_mask):
+    """Merged backward: one k-blocked pass computes dK/dV for its block AND
+    accumulates dQ in a VMEM fp32 scratch — the transposed score matmul and
+    its exp2 run ONCE instead of once per split kernel (the split dq/dkv
+    pair recomputes p from scratch; at predictor shapes that doubled the
+    VPU-bound score passes)."""
+    if has_mask:
+        mask_ref, dq_ref, dk_ref, dv_ref, acc_ref = rest
+    else:
+        dq_ref, dk_ref, dv_ref, acc_ref = rest
+    jk = pl.program_id(2)
+    q = (_mat(q_ref).astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    k = _mat(k_ref)       # [bk, d]
+    v = _mat(v_ref)
+    do = do_ref[0, 0]     # [nq, d]
+    lse = lse_ref[0, 0][:, 0:1]    # [nq, 1], base-2 units
+    delta = delta_ref[0, 0][:, 0:1]
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, nq]
+    if has_mask:
+        st = jnp.where(mask_ref[0][:, 0:1], st, _NEG_INF)
+    pt = jnp.exp2(st - lse[:, 0][None, :])
+    dv = jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, nq]
+    dst = (pt * (dpt - delta[:, 0][None, :])).astype(q.dtype)
+    dk = jax.lax.dot_general(
+        dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_ref[0, 0] = (dk * (1.0 / _LOG2E)).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    # dq partial: contract the k-block axis of dst [bk, nq] with k [bk, d].
+    # Edge-block garbage rows would CONTAMINATE the contraction (unlike
+    # dk/dv, whose garbage rows are masked on store) — zero them in BOTH
+    # operands (0 * NaN = NaN, so one side is not enough).
+    if nk % block_k:
+        valid = jk * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (dst.shape[0], 1), 0
+        ) < nk
+        dst = jnp.where(valid, dst, 0).astype(dst.dtype)
+        k = jnp.where(valid, k.astype(jnp.float32), 0).astype(k.dtype)
+    dq_part = jax.lax.dot_general(
+        dst, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [nq, d]
+    @pl.when(jk == 0)
+    def _init():
+        acc_ref[...] = dq_part
+
+    @pl.when(jk > 0)
+    def _acc():
+        acc_ref[...] += dq_part
+
+    @pl.when(jk == nsteps - 1)
+    def _flush():
+        dq_ref[0, 0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_merged(qkv_args, mask, lse, do, delta, scale, block_k, interpret):
+    b, h, nq, d, nk = _shapes(qkv_args)
+    dtype = do.dtype
+    nsteps = _cdiv(nk, block_k)
+    dospec = pl.BlockSpec((1, 1, nq, d), lambda b_, h_, j: (b_, h_, 0, 0),
+                          memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, 1, nq, _LSE_LANES), lambda b_, h_, j: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec_blk = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0),
+                              memory_space=pltpu.VMEM)
+    args3, qspec, kspec, vspec = _qkv_specs_bwd(
+        qkv_args, (None, nq), (block_k, nk), d
+    )
+    in_specs = [qspec, kspec, vspec, dospec, lspec, lspec]
+    args = args3 + [do, lse, delta]
+    if mask is not None:
+        mask_col = jax.lax.broadcast_in_dim(
+            mask[:, 0, :], (mask.shape[0], mask.shape[2], _LSE_LANES), (0, 1)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, block_k, _LSE_LANES), lambda b_, h_, j: (b_, j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask_col)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_dqkv_kernel, scale=scale, nsteps=nsteps,
+                          nk=nk, block_k=block_k, has_mask=mask is not None),
+        grid=(b, h, nsteps),
+        in_specs=in_specs,
+        out_specs=[dospec, kvspec_blk, kvspec_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nq, d), dtype),
+            jax.ShapeDtypeStruct((b, h, nk, d), dtype),
+            jax.ShapeDtypeStruct((b, h, nk, d), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nq, d), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
+def _merged_fits(nq, nk, d, block_k):
+    """Can the merged kernel hold its temps + full-q operands in VMEM?
+    Four score-sized fp32/bf16 temps at [block_k, nq] plus q/do/acc rows."""
+    nq_pad = _round_up(nq, 128)
+    d_pad = _round_up(d, 128)
+    temps = block_k * nq_pad * 14          # st/dpt fp32 + pt/dst bf16 + slack
+    rows = nq_pad * d_pad * (2 + 2 + 4 + 4)  # q, do (bf16); acc, dq out (fp32)
+    return temps + rows <= _BWD_TEMP_BUDGET
+
+
 def _bwd(qkv_args, mask, o, lse, do, scale, block_q, block_k, interpret):
     b, h, nq, d, nk = _shapes(qkv_args)
     dtype = do.dtype
     delta_vec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jax.lax.broadcast_in_dim(delta_vec, (b, h, nq, _LSE_LANES), (0, 1, 2))
     has_mask = mask is not None
+
+    if _merged_fits(nq, nk, d, block_k):
+        return _bwd_merged(qkv_args, mask, lse, do, delta, scale, block_k, interpret)
 
     dospec_blk = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0),
                               memory_space=pltpu.VMEM)
