@@ -49,26 +49,45 @@ class AugmentCfg:
     normalize_std: Tuple[float, float, float] = IMAGENET_STD
 
 
+_RRC_TRIES = 10
+
+
 def _sample_crop_box(rng, h: int, w: int, scale, ratio):
     """One crop box (i, j, bh, bw) in source pixels.
 
-    Area uniform in [scale0, scale1]*HW, aspect log-uniform in ratio — the
-    fixed-point of the reference's try-10 loop, which accepts the first
-    in-bounds draw; out-of-bounds draws are clamped instead of resampled
-    (distribution difference only in the tail).
+    Implements the reference's 10-try rejection loop (reference
+    src/datasets/utils/video/transforms.py:503-542, torchvision-style)
+    with static shapes: 10 candidate (area, aspect) draws are sampled at
+    once — area uniform in [scale0, scale1]*HW, aspect log-uniform in
+    ratio — and the FIRST in-bounds candidate wins. If all 10 miss
+    (probability ~0.18^10 at pretrain settings), fall back to the
+    reference's centered max-area crop with the aspect clamped into
+    ``ratio``. h/w may be traced (aspect-preserving decode's valid_hw).
     """
     k_area, k_ar, k_i, k_j = jax.random.split(rng, 4)
-    area = h * w * jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1])
+    hw = h * w
+    area = hw * jax.random.uniform(
+        k_area, (_RRC_TRIES,), minval=scale[0], maxval=scale[1]
+    )
     log_r = jax.random.uniform(
-        k_ar, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+        k_ar, (_RRC_TRIES,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
     )
     r = jnp.exp(log_r)
-    bw = jnp.sqrt(area * r)
-    bh = jnp.sqrt(area / r)
-    bw = jnp.clip(bw, 8.0, w)
-    bh = jnp.clip(bh, 8.0, h)
-    i = jax.random.uniform(k_i, ()) * (h - bh)
-    j = jax.random.uniform(k_j, ()) * (w - bw)
+    bws = jnp.sqrt(area * r)
+    bhs = jnp.sqrt(area / r)
+    ok = (bws <= w) & (bhs <= h)
+    first = jnp.argmax(ok)  # index of the first True (0 if none)
+    any_ok = jnp.any(ok)
+    # fallback: whole image, aspect clamped into [ratio0, ratio1], centered
+    in_r = w / h
+    fb_w = jnp.where(in_r < ratio[0], w, jnp.where(in_r > ratio[1], h * ratio[1], w))
+    fb_h = jnp.where(in_r < ratio[0], w / ratio[0], jnp.where(in_r > ratio[1], h, h))
+    bw = jnp.where(any_ok, bws[first], fb_w)
+    bh = jnp.where(any_ok, bhs[first], fb_h)
+    u_i = jnp.where(any_ok, jax.random.uniform(k_i, ()), 0.5)
+    u_j = jnp.where(any_ok, jax.random.uniform(k_j, ()), 0.5)
+    i = u_i * (h - bh)
+    j = u_j * (w - bw)
     return i, j, bh, bw
 
 

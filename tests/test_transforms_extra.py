@@ -161,3 +161,60 @@ def test_video_loader_aspect_mode_end_to_end(tmp_path):
     assert (hw.max(axis=1) <= 96).all()
     # segments of the same sample share dims (clip-major tiling)
     np.testing.assert_array_equal(hw[:4], hw[4:])
+
+
+def test_rrc_distribution_vs_reference_sampler():
+    """The in-jit 10-try RRC sampler (data/transforms.py:_sample_crop_box)
+    matches the reference's rejection loop (reference
+    src/datasets/utils/video/transforms.py:503-542, torchvision-style)
+    distribution: KS distance of crop-area-fraction and aspect sits at the
+    two-sample noise floor (~0.014 at n=20k) even at pretrain settings
+    where ~18% of raw draws go out of bounds."""
+    from jepa_tpu.data.transforms import _sample_crop_box
+
+    h = w = 256
+    scale = (0.3, 1.0)
+    ratio = (0.75, 1.35)
+    n = 20000
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    boxes = jax.vmap(lambda k: _sample_crop_box(k, h, w, scale, ratio))(keys)
+    _, _, bh, bw = (np.asarray(x) for x in boxes)
+    ours_frac = (bh * bw) / (h * w)
+    ours_ar = bw / bh
+
+    # reference oracle: independent numpy rejection sampler (accept the
+    # first in-bounds draw of 10; the center-crop fallback fires with
+    # probability ~0.18^10 ~ 3e-8 and is ignored here)
+    rng = np.random.default_rng(1)
+    m = 0
+    ref_bh = np.empty(n)
+    ref_bw = np.empty(n)
+    while m < n:
+        area = h * w * rng.uniform(scale[0], scale[1], size=4 * n)
+        r = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1]), size=4 * n))
+        cw = np.sqrt(area * r)
+        ch = np.sqrt(area / r)
+        ok = (cw <= w) & (ch <= h) & (cw > 0) & (ch > 0)
+        take = min(n - m, int(ok.sum()))
+        ref_bw[m : m + take] = cw[ok][:take]
+        ref_bh[m : m + take] = ch[ok][:take]
+        m += take
+    ref_frac = (ref_bh * ref_bw) / (h * w)
+    ref_ar = ref_bw / ref_bh
+
+    def ks(a, b):
+        xs = np.sort(np.concatenate([a, b]))
+        ca = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+        cb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        return float(np.max(np.abs(ca - cb)))
+
+    ks_frac = ks(ours_frac, ref_frac)
+    ks_ar = ks(ours_ar, ref_ar)
+    # measured 0.0078 / 0.0093 (noise floor) with the 10-try sampler; the
+    # old single clamped draw measured 0.158 on area fraction
+    assert ks_frac < 0.02, ks_frac
+    assert ks_ar < 0.02, ks_ar
+    # bulk statistics agree tightly
+    assert abs(ours_frac.mean() - ref_frac.mean()) < 0.02
+    assert abs(np.log(ours_ar).mean() - np.log(ref_ar).mean()) < 0.02
