@@ -77,12 +77,11 @@ def mlp(x, p, cfg: BlockCfg):
 def self_attention(x, p, cfg: BlockCfg, kv_mask=None):
     """Fused-QKV multi-head self-attention. x: [B, N, D].
 
-    Flash path: q/k/v are produced HEAD-MAJOR ([3, B, H, N, Dh]) straight
-    out of the qkv projection and o is consumed head-major by the output
-    projection, so the [B,N,H,D] <-> [B,H,N,D] relayouts fold into the
-    matmuls instead of costing separate HBM copy passes (the round-2 xplane
-    showed ~43 ms/step of %copy around the target encoder's attention
-    alone)."""
+    Flash path: projection + attention run as one differentiable unit
+    (ops.flash_attention.flash_self_attention) whose Pallas kernels consume
+    the qkv matmul's NATIVE token-major [B, N, 3D] output and return o
+    token-major — zero layout changes end to end (the earlier head-major
+    packed layout paid a ~2x relayout on the qkv fusion; round-2 xplane)."""
     b, n, d = x.shape
     h = cfg.num_heads
     hd = d // h
@@ -90,24 +89,13 @@ def self_attention(x, p, cfg: BlockCfg, kv_mask=None):
     from jepa_tpu.ops.attention import resolve_flash
 
     if resolve_flash(cfg.attn_impl, n, n):
-        from jepa_tpu.ops.flash_attention import flash_attention_packed
+        from jepa_tpu.ops.flash_attention import flash_self_attention
 
-        w = p["qkv_w"].astype(cd).reshape(d, 3, h, hd)
-        bias = p["qkv_b"].astype(jnp.float32).reshape(3, 1, h, 1, hd)
-        qkv = jnp.einsum(
-            "bnd,dshc->sbhnc", x.astype(cd), w,
-            preferred_element_type=jnp.float32,
-        )
-        qkv = (qkv + bias).astype(cd)
-        out = flash_attention_packed(
-            qkv, kv_mask=kv_mask, scale=cfg.qk_scale
-        )  # [B, H, N, Dh]
-        wp = p["proj_w"].astype(cd).reshape(h, hd, d)
-        y = jnp.einsum(
-            "bhnc,hcd->bnd", out.astype(cd), wp,
-            preferred_element_type=jnp.float32,
-        )
-        return (y + p["proj_b"].astype(jnp.float32)).astype(cd)
+        out = flash_self_attention(
+            x.astype(cd), p["qkv_w"].astype(cd), p["qkv_b"], h,
+            kv_mask=kv_mask, scale=cfg.qk_scale,
+        )  # [B, N, D] token-major
+        return linear(out, {"w": p["proj_w"], "b": p["proj_b"]}, cd)
 
     qkv = linear(x, {"w": p["qkv_w"], "b": p["qkv_b"]}, cd)
     qkv = qkv.reshape(b, n, 3, h, hd)

@@ -692,6 +692,456 @@ def flash_attention_bhnd(
     return o.astype(v.dtype)
 
 
+# ---------------------------------------------------------------------------
+# token-major kernels: qkv [B, N, 3*H*c] with the head loop INSIDE the kernel
+# ---------------------------------------------------------------------------
+#
+# The head-major packed kernels above still pay one relayout per call: the
+# fused qkv projection naturally writes token-major [B, N, 3D] and XLA must
+# transpose it into [3, B, H, N, c] (round-2 xplane: 2.47 ms/layer for the
+# ViT-L target encoder's qkv-pack fusion vs ~1.2 ms matmul floor). These
+# kernels consume the projection's native layout directly — the q/k/v planes
+# are lane blocks of one array, heads are lane slices inside the kernel —
+# so the relayout disappears on BOTH sides (o comes back token-major, which
+# is also exactly what the output projection and its backward consume).
+#
+# Compiler guardrails (measured on v5e Mosaic, silent HTTP-500 crashes of
+# the remote compiler, independent of the VMEM-stack fit):
+#   * more than 8 unrolled heads per kernel body is fragile at production
+#     sequence lengths (16-head bodies crash at N>=1152 for c>=32 and for
+#     c=24 even with small blocks once the lse output is present);
+#   * unrolled_heads * block * n128 * head_dim has a hard ceiling;
+#   * unrolled_heads * block beyond the validated 1664 (fwd) / 1024 (bwd)
+#     products crashed in at least one configuration.
+# _pick_tm_params stays inside the validated envelope by adding a
+# head_split grid dimension; head dims that admit no 128-aligned split with
+# <=8 unrolled heads (e.g. the predictor's c=24) are zero-padded up to a
+# multiple of 32 by flash_self_attention (exact math: pad lanes carry
+# zero weights, zero outputs, zero grads).
+
+_TM_COMPILE_LIMIT_FWD = int(1.8e8)
+_TM_COMPILE_LIMIT_BWD = int(0.9e8)  # bwd has ~2x the per-head temps
+_TM_MAX_UNROLLED_HEADS = 8
+_TM_MAX_HGBLK_FWD = 1664
+_TM_MAX_HGBLK_BWD = 1024
+_TM_VMEM_BUDGET = 12 * 2**20
+
+
+def _pick_tm_params(heads: int, hdim: int, n: int, fwd: bool):
+    """(head_split, block) for the token-major kernels, or None when no
+    compiler-safe configuration exists (caller falls back to head-major)."""
+    hc = heads * hdim
+    n128 = _round_up(n, 128)
+    limit = _TM_COMPILE_LIMIT_FWD if fwd else _TM_COMPILE_LIMIT_BWD
+    hgblk = _TM_MAX_HGBLK_FWD if fwd else _TM_MAX_HGBLK_BWD
+    splits = [s for s in range(1, heads + 1)
+              if heads % s == 0 and (hc // s) % 128 == 0
+              and heads // s <= _TM_MAX_UNROLLED_HEADS]
+    if not splits:
+        return None
+    blocks = []
+    cap = 448 if fwd else 256
+    for kk in range(1, 129):
+        if n128 % kk == 0 and (n128 // kk) % 8 == 0 and n128 // kk <= cap:
+            blocks.append(n128 // kk)
+    if not blocks:
+        blocks = [128]
+    best = None
+    for blk in blocks:  # descending: prefer the largest block
+        for s in splits:  # ascending: prefer the fewest splits
+            hg, gl = heads // s, hc // s
+            if hg * blk > hgblk or hg * blk * n128 * hdim > limit:
+                continue
+            if fwd:
+                vmem = (2 * blk * n128 * 4          # s, p fp32 (serial per head)
+                        + 2 * n128 * gl * 2          # k, v group planes
+                        + 2 * blk * gl * 2)          # q in, o out
+            else:
+                vmem = (4 * blk * n128 * 3           # st/dpt fp32 + pt/dst bf16
+                        + 3 * n128 * gl * 2          # dqkv out block
+                        + n128 * gl * 4              # dq acc scratch
+                        + 2 * n128 * gl * 2          # q, do full
+                        + 2 * blk * gl * 2)          # k, v blocks
+            if vmem > _TM_VMEM_BUDGET:
+                continue
+            best = (s, blk)
+            break
+        if best:
+            break
+    return best
+
+
+def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim):
+    if len(rest) == 3:
+        mask_ref, o_ref, lse_ref = rest
+    else:
+        mask_ref, (o_ref, lse_ref) = None, rest
+    q = q_ref[0]  # [bq, gl]
+    k = k_ref[0]  # [nk, gl]
+    v = v_ref[0]
+    outs, lses = [], []
+    for h in range(heads):
+        sl = slice(h * hdim, (h + 1) * hdim)
+        qh = (q[:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+        s = jax.lax.dot_general(
+            qh, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_safe = jnp.maximum(l, 1e-30)
+        outs.append((o / l_safe).astype(o_ref.dtype))
+        lses.append(m + jnp.log2(l_safe))  # [bq, 1], base-2 units
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+    lse_ref[0, 0] = jnp.concatenate(lses, axis=1)
+
+
+def _fwd_tm(qkv, mask, meta):
+    """qkv: [B, N, 3*H*c] token-major. Returns (o [B, N, H*c],
+    lse [B, hs_f, N, hg] fp32 base-2 — grouped by the fwd head split; the
+    bwd regroups it in XLA). The q/k/v planes and head groups are LANE
+    blocks of the one qkv array (Mosaic requires the last two block dims
+    to be 8/128-aligned or full, which rules out a size-1 middle dim)."""
+    scale, heads, hdim, hs_f, bq, hs_b, bk, interpret = meta
+    b, n, w3 = qkv.shape
+    hc = w3 // 3
+    hg, gl = heads // hs_f, hc // hs_f
+    hs = hs_f
+    grid = (b, hs, _cdiv(n, bq))
+    qspec = pl.BlockSpec((1, bq, gl), lambda b_, g, i: (b_, i, g),
+                         memory_space=pltpu.VMEM)
+    kvspec = lambda s: pl.BlockSpec(
+        (1, n, gl), lambda b_, g, i, s=s: (b_, 0, s * hs + g),
+        memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec(1), kvspec(2)]
+    args = [qkv, qkv, qkv]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, _SUBLANES, n), lambda b_, g, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_tm_kernel, scale=scale, heads=hg, hdim=hdim),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bq, gl), lambda b_, g, i: (b_, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, hg), lambda b_, g, i: (b_, g, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hc), qkv.dtype),
+            jax.ShapeDtypeStruct((b, hs, n, hg), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return o, lse
+
+
+def _bwd_tm_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                   scale, heads, hdim, nsteps, nk, block_k):
+    if len(rest) == 5:
+        mask_ref, dq_ref, dk_ref, dv_ref, acc_ref = rest
+    else:
+        mask_ref, (dq_ref, dk_ref, dv_ref, acc_ref) = None, rest
+    jk = pl.program_id(2)
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * hdim, (h + 1) * hdim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]             # [bk, c]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]           # [nq, c]
+        lse = lse_ref[0, 0][:, h][None, :]      # [1, nq] base-2 units
+        delta = delta_ref[0, 0][:, h][None, :]  # [1, nq]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, nq]
+        if mask_ref is not None:
+            st = jnp.where(mask_ref[0][:, 0:1], st, _NEG_INF)
+        pt = jnp.exp2(st - lse)
+        dv = jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, nq]
+        dst = (pt * (dpt - delta)).astype(q.dtype)
+        dk = jax.lax.dot_general(
+            dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dks.append((dk * (1.0 / _LOG2E)).astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        # dq partial over this k-block; zero edge-block garbage in BOTH
+        # operands (0 * NaN = NaN — see _dqkv_kernel)
+        if nk % block_k:
+            valid = jk * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (dst.shape[0], 1), 0
+            ) < nk
+            dst = jnp.where(valid, dst, 0).astype(dst.dtype)
+            k = jnp.where(valid, k.astype(jnp.float32), 0).astype(k.dtype)
+        dqs.append(jax.lax.dot_general(
+            dst, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))  # [nq, c]
+    dk_ref[0] = jnp.concatenate(dks, axis=1)   # block store, edge-masked
+    dv_ref[0] = jnp.concatenate(dvs, axis=1)
+    dq_part = jnp.concatenate(dqs, axis=1)     # [nq, gl]
+
+    @pl.when(jk == 0)
+    def _init():
+        acc_ref[...] = dq_part
+
+    @pl.when(jk > 0)
+    def _acc():
+        acc_ref[...] += dq_part
+
+    @pl.when(jk == nsteps - 1)
+    def _flush():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_tm(qkv, mask, o, lse, do, meta):
+    """Merged token-major backward. Returns (dq, dk, dv), each [B, N, H*c]
+    token-major (head-major lanes) — consumed directly by the projection
+    backward's matmuls, no assembly copies.
+
+    qkv: [B, N, 3*H*c]; lse: [B, hs_f, N, hg_f] as emitted by _fwd_tm
+    (regrouped here to the bwd's own head split)."""
+    scale, heads, hdim, hs_f, bq, hs_b, bk, interpret = meta
+    b, n, w3 = qkv.shape
+    hc = w3 // 3
+    hg, gl = heads // hs_b, hc // hs_b
+    hs = hs_b
+    delta = jnp.sum(
+        do.astype(jnp.float32).reshape(b, n, heads, hdim)
+        * o.astype(jnp.float32).reshape(b, n, heads, hdim), axis=-1
+    )  # [B, N, H]
+    delta_g = jnp.transpose(delta.reshape(b, n, hs, hg), (0, 2, 1, 3))
+    # regroup the fwd's [B, hs_f, N, hg_f] lse to the bwd's split
+    lse_g = jnp.transpose(
+        jnp.transpose(lse, (0, 2, 1, 3)).reshape(b, n, hs, hg), (0, 2, 1, 3)
+    )
+    nsteps = _cdiv(n, bk)
+    qspec = pl.BlockSpec((1, n, gl), lambda b_, g, j: (b_, 0, g),
+                         memory_space=pltpu.VMEM)
+    kvspec = lambda s: pl.BlockSpec(
+        (1, bk, gl), lambda b_, g, j, s=s: (b_, j, s * hs + g),
+        memory_space=pltpu.VMEM)
+    dospec = pl.BlockSpec((1, n, gl), lambda b_, g, j: (b_, 0, g),
+                          memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, 1, n, hg), lambda b_, g, j: (b_, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec(1), kvspec(2), dospec, hspec, hspec]
+    args = [qkv, qkv, qkv, do, lse_g, delta_g]
+    if mask is not None:
+        mask_col = jax.lax.broadcast_in_dim(
+            mask[:, 0, :], (mask.shape[0], mask.shape[2], _LSE_LANES), (0, 1)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bk, _LSE_LANES), lambda b_, g, j: (b_, j, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask_col)
+    dtype = qkv.dtype
+    return pl.pallas_call(
+        functools.partial(_bwd_tm_kernel, scale=scale, heads=hg, hdim=hdim,
+                          nsteps=nsteps, nk=n, block_k=bk),
+        grid=(b, hs_b, nsteps),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, n, gl), lambda b_, g, j: (b_, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, gl), lambda b_, g, j: (b_, j, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, gl), lambda b_, g, j: (b_, j, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hc), dtype),
+            jax.ShapeDtypeStruct((b, n, hc), dtype),
+            jax.ShapeDtypeStruct((b, n, hc), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, gl), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+def _project_qkv(x, w, bias):
+    """x [B,N,D] @ w [D,3HC] + bias, fp32 accumulation, cast to x.dtype."""
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return (y + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _tm_fwd_core(x, w, bias, mask, meta):
+    return _fwd_tm(_project_qkv(x, w, bias), mask, meta)
+
+
+def _tm_bwd_core(x, w, bias, mask, o, lse, do, meta):
+    """Shared backward: recompute qkv (matches remat='attn' economics — only
+    (o, lse) are saved across the scan), run the merged kernel, fold dq/dk/dv
+    straight into the projection grads (no dqkv assembly: dx is three matmuls
+    summed, dw/db concats are parameter-sized)."""
+    b, n, d = x.shape
+    hc = w.shape[1] // 3
+    qkv = _project_qkv(x, w, bias)
+    dq, dk, dv = _bwd_tm(qkv, mask, o, lse, do, meta)
+    x2 = x.reshape(b * n, d)
+    parts = []
+    dx = None
+    for i, g in enumerate((dq, dk, dv)):
+        g2 = g.reshape(b * n, hc)
+        ws = jax.lax.slice_in_dim(w, i * hc, (i + 1) * hc, axis=1)  # [D, HC]
+        term = jax.lax.dot_general(
+            g2, ws, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dx = term if dx is None else dx + term
+        parts.append(jax.lax.dot_general(
+            x2, g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))  # [D, HC]
+    dw = jnp.concatenate(parts, axis=1).astype(w.dtype)
+    db = jnp.concatenate(
+        [jnp.sum(g.astype(jnp.float32), axis=(0, 1)) for g in (dq, dk, dv)]
+    ).astype(bias.dtype)
+    return dx.reshape(b, n, d).astype(x.dtype), dw, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_tm(meta, x, w, bias):
+    return _tm_fwd_core(x, w, bias, None, meta)
+
+
+def _flash_tm_fwd(meta, x, w, bias):
+    o, lse = _tm_fwd_core(x, w, bias, None, meta)
+    return (o, lse), (x, w, bias, o, lse)
+
+
+def _flash_tm_bwd(meta, res, cts):
+    x, w, bias, o, lse = res
+    do, _ = cts
+    return _tm_bwd_core(x, w, bias, None, o, lse, do, meta)
+
+
+_flash_tm.defvjp(_flash_tm_fwd, _flash_tm_bwd, optimize_remat=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_tm_masked(meta, x, w, bias, mask):
+    return _tm_fwd_core(x, w, bias, mask, meta)
+
+
+def _flash_tm_masked_fwd(meta, x, w, bias, mask):
+    o, lse = _tm_fwd_core(x, w, bias, mask, meta)
+    return (o, lse), (x, w, bias, mask, o, lse)
+
+
+def _flash_tm_masked_bwd(meta, res, cts):
+    x, w, bias, mask, o, lse = res
+    do, _ = cts
+    dx, dw, db = _tm_bwd_core(x, w, bias, mask, o, lse, do, meta)
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dx, dw, db, dmask
+
+
+_flash_tm_masked.defvjp(_flash_tm_masked_fwd, _flash_tm_masked_bwd,
+                        optimize_remat=True)
+
+
+def flash_self_attention(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    b_qkv: jnp.ndarray,
+    num_heads: int,
+    kv_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused-projection flash self-attention: qkv projection + attention in
+    one differentiable unit with NO layout changes anywhere.
+
+    x: [B, N, D] (compute dtype); w_qkv: [D, 3*H*c] with torch-convention
+    column order (q|k|v, each head-major — exactly our qkv_w layout);
+    b_qkv: [3*H*c]. Returns o [B, N, H*c] token-major, the native input of
+    the output projection.
+
+    The qkv projection's natural token-major output feeds the kernels
+    directly (the head-major packed path pays a ~2x relayout on the qkv
+    fusion, round-2 xplane), and the backward folds the kernels' dq/dk/dv
+    into dx/dw directly. The projection is recomputed in the backward; under
+    remat='attn' only (o, lse) persist per layer, so total work matches the
+    packed path while removing every transpose.
+    """
+    b, n, d = x.shape
+    hc = w_qkv.shape[1] // 3
+    assert hc % num_heads == 0, (w_qkv.shape, num_heads)
+    head_dim = hc // num_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # zero-pad the head dim up to a multiple of 32 when that unlocks a
+    # compiler-safe split (e.g. predictor c=24 -> 32, hc 384 -> 512). Exact:
+    # pad weight columns are zero, so pad q/k/v lanes, o lanes, and all pad
+    # grads are identically zero; the o pad lanes are sliced off below (a
+    # differentiable slice, so dw/db flow back through the pad correctly).
+    cp = head_dim
+    pf = _pick_tm_params(num_heads, cp, n, fwd=True)
+    pb = _pick_tm_params(num_heads, cp, n, fwd=False)
+    if (pf is None or pb is None) and head_dim % 32:
+        cp = _round_up(head_dim, 32)
+        pf = _pick_tm_params(num_heads, cp, n, fwd=True)
+        pb = _pick_tm_params(num_heads, cp, n, fwd=False)
+    if n > _MAX_NK or pf is None or pb is None:
+        # fall back to the head-major packed kernels (one relayout) or XLA
+        qkv = _project_qkv(x, w_qkv, b_qkv)
+        t = jnp.transpose(
+            qkv.reshape(b, n, 3, num_heads, head_dim), (2, 0, 3, 1, 4)
+        )  # [3, B, H, N, c]
+        if n > _MAX_NK:
+            from jepa_tpu.ops.attention import xla_attention
+
+            o = xla_attention(
+                jnp.transpose(t[0], (0, 2, 1, 3)),
+                jnp.transpose(t[1], (0, 2, 1, 3)),
+                jnp.transpose(t[2], (0, 2, 1, 3)),
+                kv_mask=kv_mask, scale=scale,
+            )
+            return o.reshape(b, n, hc)
+        o = flash_attention_packed(t, kv_mask=kv_mask, scale=scale,
+                                   interpret=interpret)
+        return jnp.transpose(o, (0, 2, 1, 3)).reshape(b, n, hc)
+
+    w_eff, b_eff = w_qkv, b_qkv
+    if cp != head_dim:
+        pad = [(0, 0), (0, 0), (0, 0), (0, cp - head_dim)]
+        w_eff = jnp.pad(w_qkv.reshape(d, 3, num_heads, head_dim), pad)
+        w_eff = w_eff.reshape(d, 3 * num_heads * cp)
+        b_eff = jnp.pad(
+            b_qkv.reshape(3, num_heads, head_dim), pad[1:]
+        ).reshape(3 * num_heads * cp)
+
+    meta = (float(scale), num_heads, cp, pf[0], pf[1], pb[0], pb[1],
+            bool(interpret))
+    if kv_mask is None:
+        o, _ = _flash_tm(meta, x, w_eff, b_eff)
+    else:
+        mask = jax.lax.broadcast_in_dim(
+            kv_mask.astype(bool), (b, _SUBLANES, n), (0, 2)
+        )
+        o, _ = _flash_tm_masked(meta, x, w_eff, b_eff, mask)
+    if cp != head_dim:
+        o = o.reshape(b, n, num_heads, cp)[..., :head_dim].reshape(b, n, hc)
+    return o.astype(x.dtype)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

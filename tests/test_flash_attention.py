@@ -108,3 +108,131 @@ def test_self_attention_flash_path_matches_xla():
         )
         for pa, pb in zip(jax.tree.leaves(grads["flash"]), jax.tree.leaves(grads["xla"])):
             np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=5e-4, rtol=5e-4)
+
+
+def test_flash_self_attention_tm_kernel_matches_reference():
+    """The token-major fused-projection path (flash_self_attention with an
+    in-kernel head loop) matches a plain XLA projection+attention — values
+    and grads — including at an odd N that exercises k-block edge masking
+    in the merged backward (N=149, blocks of 128)."""
+    from jepa_tpu.ops.flash_attention import _pick_tm_params, flash_self_attention
+
+    b, n, h, c = 2, 149, 4, 32
+    d = h * c
+    # this shape must actually route to the token-major kernels
+    assert _pick_tm_params(h, c, n, fwd=True) is not None
+    assert _pick_tm_params(h, c, n, fwd=False) is not None
+
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(kx, (b, n, d), jnp.float32) * 0.5
+    w = jax.random.normal(kw, (d, 3 * d), jnp.float32) * 0.1
+    bias = jax.random.normal(kb, (3 * d,), jnp.float32) * 0.1
+    mask = jnp.asarray(np.arange(n)[None, :].repeat(b, 0) < 120)
+
+    def ref(x, w, bias, kv_mask):
+        qkv = (jnp.dot(x, w) + bias).reshape(b, n, 3, h, c)
+        return xla_attention(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], kv_mask=kv_mask
+        ).reshape(b, n, d)
+
+    for kv_mask in (None, mask):
+        got = flash_self_attention(x, w, bias, h, kv_mask=kv_mask, interpret=True)
+        want = ref(x, w, bias, kv_mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5)
+
+        def loss_tm(x, w, bias):
+            o = flash_self_attention(x, w, bias, h, kv_mask=kv_mask, interpret=True)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_ref(x, w, bias):
+            return jnp.sum(jnp.sin(ref(x, w, bias, kv_mask)))
+
+        g_tm = jax.grad(loss_tm, argnums=(0, 1, 2))(x, w, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+        for a, bb, name in zip(g_tm, g_ref, ("dx", "dw", "db")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), atol=5e-5, rtol=5e-5,
+                err_msg=f"{name} mismatch (kv_mask={kv_mask is not None})",
+            )
+
+
+def test_tm_param_picker_production_shapes():
+    """The compiler-guardrail picker must route every production shape to a
+    configuration inside the validated envelope (<=8 unrolled heads,
+    hg*blk and hg*blk*n128*hdim ceilings — measured v5e crash boundaries).
+    Head dims are padded to a multiple of 32 by flash_self_attention before
+    the picker runs, so the picker is queried at the padded dims."""
+    from jepa_tpu.ops.flash_attention import (
+        _TM_COMPILE_LIMIT_BWD,
+        _TM_COMPILE_LIMIT_FWD,
+        _TM_MAX_HGBLK_BWD,
+        _TM_MAX_HGBLK_FWD,
+        _TM_MAX_UNROLLED_HEADS,
+        _pick_tm_params,
+    )
+
+    cases = {
+        "vit_large_full": (16, 64, 1568),
+        "vit_large_ctx_short": (16, 64, 376),
+        "vit_large_ctx_long": (16, 64, 96),
+        "predictor_a_padded": (16, 32, 1191),   # c=24 pads to 32
+        "predictor_b_padded": (16, 32, 1109),
+        "vit_huge_padded": (16, 96, 1568),      # c=80 pads to 96
+        "vit_giant_padded": (16, 96, 1568),     # c=88 pads to 96
+    }
+    for name, (heads, hdim, n) in cases.items():
+        for fwd, limit, hgblk in (
+            (True, _TM_COMPILE_LIMIT_FWD, _TM_MAX_HGBLK_FWD),
+            (False, _TM_COMPILE_LIMIT_BWD, _TM_MAX_HGBLK_BWD),
+        ):
+            got = _pick_tm_params(heads, hdim, n, fwd=fwd)
+            assert got is not None, (name, fwd)
+            s, blk = got
+            hg = heads // s
+            n128 = ((n + 127) // 128) * 128
+            assert hg <= _TM_MAX_UNROLLED_HEADS, (name, fwd, got)
+            assert hg * blk <= hgblk, (name, fwd, got)
+            assert hg * blk * n128 * hdim <= limit, (name, fwd, got)
+            assert (heads * hdim // s) % 128 == 0, (name, fwd, got)
+    # unpadded predictor c=24 has no 128-aligned split with <=8 heads;
+    # flash_self_attention pads it rather than falling back
+    assert _pick_tm_params(16, 24, 1191, fwd=True) is None
+    # ViT-H/384 (N=4608): fwd fits, the merged bwd's full-q residency does
+    # not -> packed fallback for the differentiable path
+    assert _pick_tm_params(16, 96, 4608, fwd=True) is not None
+    assert _pick_tm_params(16, 96, 4608, fwd=False) is None
+
+
+def test_flash_self_attention_pads_small_head_dim():
+    """c=24 (the predictor head dim) routes through the token-major kernels
+    by zero-padding heads to c=32 — values and grads must equal the plain
+    reference, including dw/db for the ORIGINAL (unpadded) weights."""
+    from jepa_tpu.ops.flash_attention import flash_self_attention
+
+    b, n, h, c = 2, 137, 16, 24
+    d = h * c
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(11), 3)
+    x = jax.random.normal(kx, (b, n, d), jnp.float32) * 0.5
+    w = jax.random.normal(kw, (d, 3 * d), jnp.float32) * 0.05
+    bias = jax.random.normal(kb, (3 * d,), jnp.float32) * 0.1
+
+    def ref(x, w, bias):
+        qkv = (jnp.dot(x, w) + bias).reshape(b, n, 3, h, c)
+        return xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]).reshape(b, n, d)
+
+    got = flash_self_attention(x, w, bias, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, w, bias)),
+                               atol=3e-5, rtol=3e-5)
+
+    g_tm = jax.grad(
+        lambda x, w, bias: jnp.sum(
+            jnp.sin(flash_self_attention(x, w, bias, h, interpret=True))
+        ), argnums=(0, 1, 2),
+    )(x, w, bias)
+    g_ref = jax.grad(
+        lambda x, w, bias: jnp.sum(jnp.sin(ref(x, w, bias))), argnums=(0, 1, 2)
+    )(x, w, bias)
+    for a, bb, name in zip(g_tm, g_ref, ("dx", "dw", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-5, rtol=5e-5, err_msg=name)
