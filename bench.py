@@ -118,7 +118,11 @@ def main():
     from jepa_tpu.models.vit import init_vit, vit_forward
 
     ep, ec = init_vit(jax.random.PRNGKey(2), enc_cfg)
-    enc_fn = jax.jit(lambda p, c, x: vit_forward(p, c, x, enc_cfg))
+    import dataclasses
+
+    # the eval/encode path is grad-free -> fused fc1 GELU kernel applies
+    encode_cfg = dataclasses.replace(enc_cfg, fused_mlp=True)
+    enc_fn = jax.jit(lambda p, c, x: vit_forward(p, c, x, encode_cfg))
     ex = jax.random.normal(jax.random.PRNGKey(3), (batch, frames, crop, crop, 3), jnp.bfloat16)
     o = enc_fn(ep, ec, ex)
     _ = float(jnp.sum(o.astype(jnp.float32)))  # host readback = hard sync

@@ -104,6 +104,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
         tubelet_size=tubelet_size,
         uniform_power=uniform_power,
         compute_dtype=compute_dtype,
+        fused_mlp=True,  # encoder is frozen (stop_gradient): grad-free fwd
     )
     enc_params, enc_consts = _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger)
 

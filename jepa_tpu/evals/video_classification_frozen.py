@@ -125,6 +125,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
         tubelet_size=tubelet_size,
         uniform_power=uniform_power,
         compute_dtype=compute_dtype,
+        fused_mlp=True,  # encoder is frozen (stop_gradient): grad-free fwd
     )
     enc_params, enc_consts = _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger)
     is_video_encoder = pretrain_frames_per_clip > 1

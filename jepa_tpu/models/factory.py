@@ -50,6 +50,7 @@ def vit_cfg(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     remat: bool = False,
+    fused_mlp: bool = False,
 ) -> ViTCfg:
     if model_name not in _SPECS:
         raise ValueError(f"unknown model {model_name!r}; options: {sorted(_SPECS)}")
@@ -67,6 +68,7 @@ def vit_cfg(
         compute_dtype=compute_dtype,
         attn_impl=attn_impl,
         remat=remat,
+        fused_mlp=fused_mlp,
     )
 
 

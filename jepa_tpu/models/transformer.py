@@ -41,6 +41,11 @@ class BlockCfg:
     compute_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
     qk_scale: Optional[float] = None
+    # fused matmul+bias+GELU Pallas fc1: a ~0.4-0.7 ms/layer win on pure
+    # FORWARD instances (target encoder, frozen eval encode), but a net
+    # LOSS under autodiff (XLA fuses dgelu into the remat recompute, which
+    # a custom_vjp cannot) — so callers enable it only on grad-free paths.
+    fused_mlp: bool = False
 
     def __post_init__(self):
         if self.dim % self.num_heads != 0:
@@ -69,8 +74,19 @@ def linear(x, p, compute_dtype):
 
 
 def mlp(x, p, cfg: BlockCfg):
-    h = linear(x, {"w": p["fc1_w"], "b": p["fc1_b"]}, cfg.compute_dtype)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cfg.compute_dtype)
+    from jepa_tpu.ops.attention import resolve_flash
+
+    cd = cfg.compute_dtype
+    if cfg.fused_mlp and resolve_flash(cfg.attn_impl, x.shape[1], x.shape[1]):
+        # fused matmul+bias+GELU Pallas kernel: the VPU gelu epilogue of
+        # tile i overlaps tile i+1's MXU matmul (XLA's fc1 fusion runs the
+        # exact-erf tail serially — 3.03 vs 1.6 ms/layer, round-2 xplane)
+        from jepa_tpu.ops.fused_mlp import linear_gelu
+
+        h = linear_gelu(x.astype(cd), p["fc1_w"].astype(cd), p["fc1_b"])
+    else:
+        h = linear(x, {"w": p["fc1_w"], "b": p["fc1_b"]}, cd)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cd)
     return linear(h, {"w": p["fc2_w"], "b": p["fc2_b"]}, cfg.compute_dtype)
 
 

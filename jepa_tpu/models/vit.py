@@ -60,6 +60,7 @@ class ViTCfg:
     compute_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
     remat: bool = False
+    fused_mlp: bool = False  # grad-free forwards only; see BlockCfg.fused_mlp
 
     @property
     def is_video(self) -> bool:
@@ -95,6 +96,7 @@ class ViTCfg:
             ln_eps=self.ln_eps,
             compute_dtype=self.compute_dtype,
             attn_impl=self.attn_impl,
+            fused_mlp=self.fused_mlp,
         )
 
 

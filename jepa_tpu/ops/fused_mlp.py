@@ -1,0 +1,199 @@
+"""Fused linear+GELU Pallas kernel for the transformer MLP's first layer.
+
+Motivation (round-2 xplane, ViT-L target encoder): XLA's fc1 fusion
+(matmul + bias + exact-erf GELU + bf16 cast) measures 3.03 ms/layer vs the
+1.6 ms matmul floor — the fp32 GELU tail runs serially after the MXU work
+inside the fusion. This kernel unrolls two output tiles per body so the
+VPU epilogue of tile i overlaps the MXU matmul of tile i+1 (the same ILP
+trick as the in-kernel head loop in ops/flash_attention).
+
+Replaces: the hot path of reference src/models/utils/modules.py:13-36
+(MLP.forward fc1+act) — numerics match jax.nn.gelu(approximate=False)
+to fp32-polynomial accuracy (the erf here is the single-rational-minimax
+fp32 approximation, |eps| < 3e-7, well inside the 2e-4 oracle tolerance).
+
+The backward recomputes z = x@w+b in a second fused kernel that emits
+g = dy * gelu'(z) (the VPU-heavy part); the three parameter/input grad
+matmuls stay in XLA where they run at the MXU floor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+# unroll factor: output tiles per kernel body (ILP between MXU and VPU)
+_TILES = 2
+
+
+def _erf(x):
+    """fp32 erf via the Abramowitz–Stegun 7.1.26 rational approximation
+    (|eps| <= 1.5e-7 absolute — two fp32 ulps at erf's range, far inside
+    the 2e-4 oracle tolerance). Mosaic does not lower lax.erf, and this
+    formulation is mul/exp only, which the VPU overlaps with MXU work."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu(z):
+    return 0.5 * z * (1.0 + _erf(z * _INV_SQRT2))
+
+
+def _dgelu(z):
+    """gelu'(z) = Phi(z) + z * phi(z), fp32."""
+    phi = jnp.exp(-0.5 * z * z) * _INV_SQRT2PI
+    cdf = 0.5 * (1.0 + _erf(z * _INV_SQRT2))
+    return cdf + z * phi
+
+
+def _bias(b_ref, sl, rows):
+    """[rows, tf] fp32 bias tile. 1-D lane-vector broadcast_in_dim from a
+    2-D bias block is the form Mosaic lowers (2-D [1, tf] value broadcasts
+    and 3-D-block variants crash the compiler)."""
+    bv = b_ref[0, sl].astype(jnp.float32)
+    return jax.lax.broadcast_in_dim(bv, (rows, bv.shape[0]), (1,))
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, tiles, tf):
+    x = x_ref[...]
+    for t in range(tiles):
+        sl = slice(t * tf, (t + 1) * tf)
+        z = jax.lax.dot_general(
+            x, w_ref[...][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + _bias(b_ref, sl, x.shape[0])
+        # round-trip z through the compute dtype so numerics are identical
+        # to the unfused path (linear casts to bf16 before the gelu)
+        z = z.astype(o_ref.dtype).astype(jnp.float32)
+        o_ref[:, sl] = _gelu(z).astype(o_ref.dtype)
+
+
+def _fwd_kernel_z(x_ref, w_ref, b_ref, o_ref, z_ref, *, tiles, tf):
+    """Forward that ALSO emits the (compute-dtype-rounded) pre-activation z
+    for the backward — used only on differentiated call sites, so pure
+    inference/target forwards never pay the extra HBM write."""
+    x = x_ref[...]
+    for t in range(tiles):
+        sl = slice(t * tf, (t + 1) * tf)
+        z = jax.lax.dot_general(
+            x, w_ref[...][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + _bias(b_ref, sl, x.shape[0])
+        zc = z.astype(z_ref.dtype)
+        z_ref[:, sl] = zc
+        o_ref[:, sl] = _gelu(zc.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pick_blocks(m: int, k: int, f: int):
+    """(bm, bf) output blocking; bf covers _TILES sub-tiles. VMEM: x block
+    [bm, k] + w block [k, bf] + out [bm, bf] + fp32 z tile [bm, bf/_TILES]."""
+    bf = min(f, 512 * _TILES)
+    while f % bf:
+        bf //= 2
+    m128 = ((m + 127) // 128) * 128
+    bm = 512
+    while m128 % bm:
+        bm //= 2
+    return bm, bf
+
+
+def _call(kernel, x, w, b, with_z, interpret):
+    m, k = x.shape
+    k2, f = w.shape
+    assert k == k2
+    bm, bf = _pick_blocks(m, k, f)
+    tf = bf // _TILES
+    grid = (pl.cdiv(m, bm), f // bf)
+    b2 = b.reshape(1, f)
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    ospec = pl.BlockSpec((bm, bf), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((m, f), x.dtype)
+    return pl.pallas_call(
+        functools.partial(kernel, tiles=_TILES, tf=tf),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[ospec, ospec] if with_z else ospec,
+        out_shape=[oshape, oshape] if with_z else oshape,
+        interpret=interpret,
+    )(x, w, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _linear_gelu(interpret, x, w, b):
+    return _call(_fwd_kernel, x, w, b, False, interpret)
+
+
+def _linear_gelu_fwd(interpret, x, w, b):
+    y, z = _call(_fwd_kernel_z, x, w, b, True, interpret)
+    return y, (z, x, w)
+
+
+def _linear_gelu_bwd(interpret, res, dy):
+    """z rides out of the forward kernel, so the backward is pure XLA: one
+    elementwise dgelu pass + the two grad matmuls — exactly the op count of
+    native autodiff (the earlier recompute-z-in-kernel design added a whole
+    matmul per backward layer and regressed the fused step by 36 ms)."""
+    z, x, w = res
+    zf = z.astype(jnp.float32)
+    # lax.erf here (not the kernel polynomial): this path is plain XLA, so
+    # use the same erf native autodiff would
+    phi = jnp.exp(-0.5 * zf * zf) * _INV_SQRT2PI
+    cdf = 0.5 * (1.0 + jax.lax.erf(zf * _INV_SQRT2))
+    g = (dy.astype(jnp.float32) * (cdf + zf * phi)).astype(x.dtype)
+    dx = jax.lax.dot_general(
+        g, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=0)
+    return dx, dw, db
+
+
+_linear_gelu.defvjp(_linear_gelu_fwd, _linear_gelu_bwd)
+
+
+def linear_gelu(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """gelu(x @ w + b) with exact-erf GELU fused into the matmul epilogue.
+
+    x: [..., K] (compute dtype, bf16 in production); w: [K, F]; b: [F].
+    Returns [..., F] in x's dtype. Falls back to plain XLA for shapes the
+    blocking does not cover (tiny K/F).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    f = w.shape[1]
+    m = 1
+    for s in lead:
+        m *= s
+    if k % 128 or f % (128 * _TILES) or m < 8:
+        h = jnp.dot(x, w, preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+        return jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    x2 = x.reshape(m, k)
+    out = _linear_gelu(bool(interpret), x2, w, b)
+    return out.reshape(*lead, f)

@@ -147,7 +147,9 @@ def build_train_step(
         kv_pred = [None if w is None else w > 0.5 for w in pred_w]
 
         # ---- target features (no grad): full forward + feature-LN + gather
-        h_full = vit_forward(state["target"], enc_consts, clips, enc_cfg)
+        # grad-free -> the fused fc1 GELU kernel is a pure win here
+        tgt_cfg = dataclasses.replace(enc_cfg, fused_mlp=True)
+        h_full = vit_forward(state["target"], enc_consts, clips, tgt_cfg)
         h_full = layer_norm_targets(h_full)
         h_full = jax.lax.stop_gradient(h_full)
         targets = [
