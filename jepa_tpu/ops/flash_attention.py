@@ -733,6 +733,11 @@ def _pick_tm_params(heads: int, hdim: int, n: int, fwd: bool):
     hc = heads * hdim
     n128 = _round_up(n, 128)
     limit = _TM_COMPILE_LIMIT_FWD if fwd else _TM_COMPILE_LIMIT_BWD
+    if not fwd and hdim > 64:
+        # c=96 (ViT-H c=80 / giant c=88 padded): the merged bwd at bk=128
+        # (metric 0.82e8) crashes where c<=64 shapes at higher metrics
+        # compile; halving the ceiling selects bk=64, validated on v5e.
+        limit //= 2
     hgblk = _TM_MAX_HGBLK_FWD if fwd else _TM_MAX_HGBLK_BWD
     splits = [s for s in range(1, heads + 1)
               if heads % s == 0 and (hc // s) % 128 == 0

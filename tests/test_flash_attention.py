@@ -198,10 +198,8 @@ def test_tm_param_picker_production_shapes():
     # unpadded predictor c=24 has no 128-aligned split with <=8 heads;
     # flash_self_attention pads it rather than falling back
     assert _pick_tm_params(16, 24, 1191, fwd=True) is None
-    # ViT-H/384 (N=4608): fwd fits, the merged bwd's full-q residency does
-    # not -> packed fallback for the differentiable path
-    assert _pick_tm_params(16, 96, 4608, fwd=True) is not None
-    assert _pick_tm_params(16, 96, 4608, fwd=False) is None
+    # c=96 bwd gets the halved ceiling -> the v5e-validated bk=64
+    assert _pick_tm_params(16, 96, 1568, fwd=False) == (4, 64)
 
 
 def test_flash_self_attention_pads_small_head_dim():
