@@ -92,3 +92,31 @@ def test_eval_restores_encoder_from_orbax_pretrain_checkpoint(tmp_path):
     # missing checkpoint must raise too
     with pytest.raises(FileNotFoundError):
         _load_encoder(str(tmp_path / "nope-latest"), CFG, "target_encoder", logger)
+
+
+def test_port_cli_converts_zoo_checkpoint_to_orbax(tmp_path):
+    """The offline converter (jepa_tpu.utils.port_cli): a reference-format
+    .pth.tar becomes an orbax checkpoint the evals restore STRICTLY under
+    both checkpoint keys."""
+    from jepa_tpu.models.factory import vit_cfg
+    from jepa_tpu.utils import checkpoint as ckpt_lib
+    from jepa_tpu.utils.port_cli import convert
+
+    cfg = vit_cfg("vit_tiny", img_size=32, patch_size=16, num_frames=4,
+                  tubelet_size=2, uniform_power=True)
+    params, consts = init_vit(jax.random.PRNGKey(9), cfg)
+    src = str(tmp_path / "zoo.pth.tar")
+    save_torch_checkpoint(src, target_encoder=(params, consts), epoch=3, cfg=cfg)
+
+    out = convert(src, str(tmp_path / "out"), "vit_tiny", patch_size=16,
+                  num_frames=4, tubelet_size=2, img_size=32,
+                  uniform_power=True, checkpoint_key="target_encoder",
+                  tag="ported")
+    assert out.endswith("ported-latest")
+
+    # both eval restore paths find the encoder
+    t = ckpt_lib.load_subtree(out, {"target": params})["target"]
+    e = ckpt_lib.load_subtree(out, {"params": {"encoder": params}})["params"]["encoder"]
+    for restored in (t, e):
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
