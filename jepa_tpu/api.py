@@ -1,0 +1,107 @@
+"""High-level inference API: load a pretrained V-JEPA encoder and extract
+features — the production serving surface (the reference exposes only
+training/eval scripts; feature extraction there means writing a loop over
+the internals).
+
+    from jepa_tpu.api import load_encoder
+
+    enc = load_encoder("out/ported-latest", model_name="vit_large",
+                       num_frames=16, uniform_power=True)
+    feats = enc.encode(clips)        # [B, T, H, W, C] uint8 or float
+    # feats: [B, N_tokens, D] float32
+
+Accepts either a jepa_tpu orbax checkpoint (pretraining output or the
+port_cli conversion) or a reference ``.pth.tar`` zoo file (imports torch
+at call time). The forward is jitted once per input shape and runs the
+grad-free fast path (Pallas flash attention + fused GELU kernel on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jepa_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from jepa_tpu.models.factory import vit_cfg
+from jepa_tpu.models.vit import ViTCfg, init_vit, vit_forward
+
+
+@dataclasses.dataclass
+class Encoder:
+    """A loaded, frozen encoder. ``encode`` is cached-jitted per shape."""
+
+    params: dict
+    consts: dict
+    cfg: ViTCfg
+
+    def __post_init__(self):
+        cfg = dataclasses.replace(self.cfg, fused_mlp=True)  # grad-free
+
+        @functools.partial(jax.jit, static_argnames=("normalize",))
+        def _encode(params, consts, x, normalize):
+            if normalize:
+                mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+                std = jnp.asarray(IMAGENET_STD, jnp.float32)
+                x = (x.astype(jnp.float32) / 255.0 - mean) / std
+            x = x.astype(cfg.compute_dtype)
+            return vit_forward(params, consts, x, cfg).astype(jnp.float32)
+
+        self._encode = _encode
+
+    def encode(self, clips, normalize: Optional[bool] = None) -> jax.Array:
+        """clips: video [B, T, H, W, C] or image [B, H, W, C]; uint8 inputs
+        are scaled and ImageNet-normalized (``normalize`` overrides the
+        dtype-based default). Returns token features [B, N, D] fp32."""
+        clips = jnp.asarray(clips)
+        if normalize is None:
+            normalize = clips.dtype == jnp.uint8
+        return self._encode(self.params, self.consts, clips, bool(normalize))
+
+    @property
+    def embed_dim(self) -> int:
+        return self.cfg.embed_dim
+
+
+def load_encoder(
+    checkpoint: str,
+    model_name: str,
+    img_size: int = 224,
+    patch_size: Optional[int] = None,
+    num_frames: int = 1,
+    tubelet_size: int = 2,
+    uniform_power: bool = False,
+    checkpoint_key: str = "target_encoder",
+    compute_dtype=jnp.bfloat16,
+) -> Encoder:
+    """Load a frozen encoder from a jepa_tpu orbax checkpoint (pretraining
+    output / port_cli conversion) or a reference ``.pth.tar`` zoo file."""
+    kwargs = dict(img_size=img_size, num_frames=num_frames,
+                  tubelet_size=tubelet_size, uniform_power=uniform_power,
+                  compute_dtype=compute_dtype)
+    if patch_size is not None:
+        kwargs["patch_size"] = patch_size
+    cfg = vit_cfg(model_name, **kwargs)
+    if checkpoint.endswith((".pth.tar", ".pth", ".pt")):
+        from jepa_tpu.utils.checkpoint_port import load_pretrained_encoder
+
+        params, consts = load_pretrained_encoder(
+            checkpoint, cfg, checkpoint_key, tolerant=True
+        )
+    else:
+        from jepa_tpu.utils import checkpoint as ckpt_lib
+
+        params, consts = init_vit(jax.random.PRNGKey(0), cfg)
+        sub = ("target" if checkpoint_key == "target_encoder" else None)
+        if sub:
+            params = ckpt_lib.load_subtree(checkpoint, {sub: params})[sub]
+        else:
+            params = ckpt_lib.load_subtree(
+                checkpoint, {"params": {"encoder": params}}
+            )["params"]["encoder"]
+    params = jax.tree.map(np.asarray, params)
+    return Encoder(params=params, consts=consts, cfg=cfg)
