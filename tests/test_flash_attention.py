@@ -234,3 +234,46 @@ def test_flash_self_attention_pads_small_head_dim():
     for a, bb, name in zip(g_tm, g_ref, ("dx", "dw", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=5e-5, rtol=5e-5, err_msg=name)
+
+
+def test_flash_self_attention_shape_fuzz():
+    """Randomized (heads, head_dim, n, mask) sweep through
+    flash_self_attention's dispatch (token-major kernels, head-dim padding,
+    packed fallback) — every combination must match the XLA reference in
+    values and dx."""
+    rng = np.random.default_rng(42)
+    cases = []
+    for _ in range(8):
+        h = int(rng.choice([1, 2, 4, 8, 16]))
+        c = int(rng.choice([8, 16, 24, 32, 48, 64, 80]))
+        n = int(rng.integers(16, 300))
+        cases.append((h, c, n, bool(rng.integers(0, 2))))
+    for h, c, n, use_mask in cases:
+        d = h * c
+        ks = jax.random.split(jax.random.PRNGKey(n * 1000 + d), 3)
+        x = jax.random.normal(ks[0], (2, n, d), jnp.float32) * 0.5
+        w = jax.random.normal(ks[1], (d, 3 * d), jnp.float32) * (0.5 / d**0.5)
+        bias = jax.random.normal(ks[2], (3 * d,), jnp.float32) * 0.1
+        mask = None
+        if use_mask:
+            valid = max(1, int(n * 0.8))
+            mask = jnp.asarray(np.arange(n)[None, :].repeat(2, 0) < valid)
+
+        from jepa_tpu.ops.flash_attention import flash_self_attention
+
+        def ref(x, w, bias):
+            qkv = (jnp.dot(x, w) + bias).reshape(2, n, 3, h, c)
+            return xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                                 kv_mask=mask).reshape(2, n, d)
+
+        got = flash_self_attention(x, w, bias, h, kv_mask=mask, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref(x, w, bias)), atol=5e-5, rtol=5e-5,
+            err_msg=f"fwd h={h} c={c} n={n} mask={use_mask}")
+
+        g_tm = jax.grad(lambda x: jnp.sum(jnp.sin(
+            flash_self_attention(x, w, bias, h, kv_mask=mask, interpret=True))))(x)
+        g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(ref(x, w, bias))))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_tm), np.asarray(g_ref), atol=1e-4, rtol=1e-4,
+            err_msg=f"dx h={h} c={c} n={n} mask={use_mask}")
