@@ -62,7 +62,7 @@ def main():
 
     enc_cfg = vit_cfg(
         model, img_size=crop, num_frames=frames, tubelet_size=2,
-        uniform_power=True, remat=not on_cpu,
+        uniform_power=True, remat="attn" if not on_cpu else False,
     )
     pred_cfg = predictor_cfg_for(enc_cfg, predictor_embed_dim=384 if not on_cpu else 96,
                                  depth=12 if not on_cpu else 2, num_mask_tokens=2,

@@ -144,8 +144,12 @@ def main(args: dict, resume_preempt: bool = False):
         uniform_power=uniform_power,
         compute_dtype=compute_dtype,
         # rematerialize block activations in the backward pass; without it
-        # ViT-L @ b24 wants ~72GB of HBM (activations of 24 scanned layers)
-        remat=cfgs_meta.get("remat", True),
+        # ViT-L @ b24 wants ~72GB of HBM (activations of 24 scanned layers).
+        # Default 'attn' additionally saves the flash kernels' (o, lse) so
+        # the backward never re-runs the attention kernel (~0.9GB HBM at
+        # ViT-L/b24, measured 800 vs 803 ms/step vs full remat; meta.remat
+        # accepts true (full) / 'attn' / false).
+        remat=cfgs_meta.get("remat", "attn"),
     )
     pred_cfg = predictor_cfg_for(
         enc_cfg,

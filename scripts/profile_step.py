@@ -29,7 +29,7 @@ def build_step():
     from jepa_tpu.utils.schedulers import build_schedules
 
     enc_cfg = vit_cfg("vit_large", img_size=224, num_frames=16, tubelet_size=2,
-                      uniform_power=True, remat=True)
+                      uniform_power=True, remat="attn")
     pred_cfg = predictor_cfg_for(enc_cfg, predictor_embed_dim=384, depth=12,
                                  num_mask_tokens=2, remat="attn")
     grid = MaskGrid.from_data_cfg(224, enc_cfg.patch_size, 16, 2)
