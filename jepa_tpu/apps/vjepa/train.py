@@ -315,19 +315,7 @@ def main(args: dict, resume_preempt: bool = False):
     aug_key = jax.random.PRNGKey(seed + 11)
 
     def put_global(arr):
-        """Host-local numpy slice -> globally-sharded device array.
-
-        Each host loads only its rank's data slice (loader.py ShardedSampler);
-        with >1 process a plain device_put against the GLOBAL mesh mis-shards,
-        so the multi-controller path assembles the global array from the
-        per-process shards (the TPU analogue of reference DistributedSampler
-        feeding per-rank DDP replicas, reference src/datasets/video_dataset.py:71-75).
-        """
-        if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(
-                batch_sharding, np.asarray(arr)
-            )
-        return jax.device_put(jnp.asarray(arr), batch_sharding)
+        return mesh_lib.put_global(batch_sharding, arr)
 
     def device_batch(np_batch, step):
         clips = put_global(np_batch["clips"])  # [nc*B, T, H, W, 3] uint8

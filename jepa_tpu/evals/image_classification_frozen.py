@@ -88,7 +88,9 @@ def main(args_eval: dict, resume_preempt: bool = False):
 
     world_size, rank = dist_init()
     logger = get_logger(__name__, rank=rank)
-    mesh = mesh_lib.make_mesh_for_batch(batch_size)
+    # optimization.batch_size is per-DEVICE (reference: per-GPU); see
+    # eval_batch_geometry for the full-machine batch/mesh layout
+    mesh, local_batch = mesh_lib.eval_batch_geometry(batch_size)
     compute_dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
 
     folder = os.path.join(pretrain_folder, "image_classification_frozen/")
@@ -117,12 +119,12 @@ def main(args_eval: dict, resume_preempt: bool = False):
     wd_mask = decay_mask(clf_params)
 
     _, train_loader, train_sampler = make_image_loader(
-        root_path=root_path, image_folder=image_folder, batch_size=batch_size,
+        root_path=root_path, image_folder=image_folder, batch_size=local_batch,
         training=True, output_size=int(resolution * 256 / 224),
         rank=rank, world_size=world_size, num_workers=num_workers,
     )
     val_ds, val_loader, _ = make_image_loader(
-        root_path=root_path, image_folder=image_folder, batch_size=batch_size,
+        root_path=root_path, image_folder=image_folder, batch_size=local_batch,
         training=False, output_size=resolution,
         resize_short=int(resolution * 256 / 224),
         rank=rank, world_size=world_size, num_workers=num_workers,
@@ -134,7 +136,9 @@ def main(args_eval: dict, resume_preempt: bool = False):
         warmup_steps=int(warmup * ipe), start_lr=start_lr, ref_lr=lr,
         final_lr=final_lr, t_max=int(num_epochs * ipe),
     )
-    wd_sched = CosineWD(ref_wd=wd, final_wd=wd, t_max=int(num_epochs * ipe))
+    # final_wd=1e-6 per reference init_opt defaults (image eval.py init_opt
+    # mirrors video eval.py:529-534; config wd only sets ref_wd)
+    wd_sched = CosineWD(ref_wd=wd, final_wd=1e-6, t_max=int(num_epochs * ipe))
     aug_cfg = AugmentCfg(
         crop_size=resolution,
         random_resize_scale=(0.08, 1.0),
@@ -182,15 +186,26 @@ def main(args_eval: dict, resume_preempt: bool = False):
         return clf, opt, step + 1, {"loss": loss, "acc": acc * 100.0}
 
     def val_step(clf, images, labels, weights):
+        # GLOBAL (correct, total) over the data-sharded batch: XLA's
+        # reduction is the cross-rank AllReduce (see video eval val_step)
         logits = classifier_forward(clf, encode_images(images), acfg)
         hit = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
-        return jnp.sum(hit * weights)
+        return jnp.sum(hit * weights), jnp.sum(weights)
 
     train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
     val_step = jax.jit(val_step)
     batch_sharding = mesh_lib.batch_sharding(mesh)
+
+    def put_global(arr):
+        return mesh_lib.put_global(batch_sharding, arr)
+
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
     std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+
+    @jax.jit
+    def normalize_val(imgs):
+        return ((imgs.astype(jnp.float32) - mean) / std).astype(compute_dtype)
+
     aug_key = jax.random.PRNGKey(4321)
 
     start_epoch = 0
@@ -213,12 +228,12 @@ def main(args_eval: dict, resume_preempt: bool = False):
         train_sampler.set_epoch(epoch)
         meter = AverageMeter()
         for itr, np_batch in enumerate(train_loader):
-            imgs = jax.device_put(jnp.asarray(np_batch["images"]), batch_sharding)
+            imgs = put_global(np_batch["images"])
             # treat as 1-frame clip for the shared device augmentation
             aug = pretrain_augment(
                 jax.random.fold_in(aug_key, epoch * ipe + itr), imgs[:, None], aug_cfg
             )[:, 0].astype(compute_dtype)
-            labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
+            labels = put_global(np_batch["labels"])
             clf_params, opt_state, step, metrics = train_step(
                 clf_params, opt_state, step, aug, labels
             )
@@ -231,22 +246,24 @@ def main(args_eval: dict, resume_preempt: bool = False):
         correct = total = 0.0
         k_item = 0
         for np_batch in val_loader:
-            imgs = jnp.asarray(np_batch["images"]).astype(jnp.float32)
-            imgs = ((imgs - mean) / std).astype(compute_dtype)
-            imgs = jax.device_put(imgs, batch_sharding)
-            labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
             b = len(np_batch["labels"])
             pos = rank + (k_item + np.arange(b)) * world_size
             w = (pos < len(val_ds)).astype(np.float32)
             k_item += b
-            weights = jax.device_put(jnp.asarray(w), batch_sharding)
-            correct += float(val_step(clf_params, imgs, labels, weights))
-            total += float(w.sum())
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            ct = multihost_utils.process_allgather(np.asarray([correct, total]))
-            correct, total = float(ct[:, 0].sum()), float(ct[:, 1].sum())
+            images = np.asarray(np_batch["images"])
+            labels_np = np.asarray(np_batch["labels"])
+            if b < local_batch:
+                # zero-weight pad to the compiled shape (see video eval)
+                pad = local_batch - b
+                images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+                labels_np = np.concatenate([labels_np, np.zeros(pad, labels_np.dtype)])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
+            imgs = normalize_val(put_global(images))
+            labels = put_global(labels_np)
+            weights = put_global(w)
+            c, t = val_step(clf_params, imgs, labels, weights)
+            correct += float(c)
+            total += float(t)
         val_acc = 100.0 * correct / max(1, total)
         val_accs.append(val_acc)
         logger.info("[%5d] train: %.3f%% test: %.3f%%", epoch + 1, meter.avg, val_acc)

@@ -65,6 +65,16 @@ def _load_encoder(pretrained_path, enc_cfg, checkpoint_key, logger):
     return params, consts
 
 
+def _pad_clip_major(arr, segments, pad):
+    """Pad a clip-major [S*B, ...] batch to [S*(B+pad), ...] by repeating
+    each segment's last sample (consumed with zero validity weight)."""
+    arr = np.asarray(arr)
+    b = arr.shape[0] // segments
+    a = arr.reshape((segments, b) + arr.shape[1:])
+    a = np.concatenate([a, np.repeat(a[:, -1:], pad, axis=1)], axis=1)
+    return a.reshape((segments * (b + pad),) + arr.shape[1:])
+
+
 def main(args_eval: dict, resume_preempt: bool = False):
     # ---- config (reference schema) --------------------------------------
     args_pretrain = args_eval.get("pretrain", {})
@@ -108,7 +118,9 @@ def main(args_eval: dict, resume_preempt: bool = False):
 
     world_size, rank = dist_init()
     logger = get_logger(__name__, rank=rank)
-    mesh = mesh_lib.make_mesh_for_batch(int(args_opt.get("batch_size")))
+    # optimization.batch_size is per-DEVICE (reference: per-GPU); see
+    # eval_batch_geometry for the full-machine batch/mesh layout
+    mesh, local_batch = mesh_lib.eval_batch_geometry(batch_size)
     compute_dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
 
     folder = os.path.join(pretrain_folder, "video_classification_frozen/")
@@ -161,7 +173,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
     train_segments = eval_num_segments if attend_across_segments else 1
     _, train_loader, train_sampler = make_video_loader(
         data_paths=train_data_path,
-        batch_size=batch_size,
+        batch_size=local_batch,
         frames_per_clip=eval_frames_per_clip,
         frame_step=eval_frame_step,
         num_clips=train_segments,
@@ -173,7 +185,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
     )
     val_ds, val_loader, val_sampler = make_video_loader(
         data_paths=val_data_path,
-        batch_size=batch_size,
+        batch_size=local_batch,
         frames_per_clip=eval_frames_per_clip,
         frame_step=eval_frame_step,
         num_clips=eval_num_segments,
@@ -190,7 +202,10 @@ def main(args_eval: dict, resume_preempt: bool = False):
         warmup_steps=int(warmup * ipe), start_lr=start_lr, ref_lr=lr,
         final_lr=final_lr, t_max=int(num_epochs * ipe),
     )
-    wd_sched = CosineWD(ref_wd=wd, final_wd=wd, t_max=int(num_epochs * ipe))
+    # probe wd cosine-decays config wd -> 1e-6: the reference's init_opt
+    # defaults final_wd=1e-6 and eval.py:555-558 never overrides it — part
+    # of the published 80.8-K400 probe recipe
+    wd_sched = CosineWD(ref_wd=wd, final_wd=1e-6, t_max=int(num_epochs * ipe))
 
     aug_cfg = AugmentCfg(
         crop_size=resolution,
@@ -249,15 +264,37 @@ def main(args_eval: dict, resume_preempt: bool = False):
         return clf, opt, step + 1, {"loss": loss, "acc": acc * 100.0, "lr": lr_now}
 
     def val_step(clf, clips, labels, weights):
+        # returns GLOBAL (correct, total): the sums run over the
+        # data-sharded global batch, so XLA's reduction IS the cross-rank
+        # AllReduce the reference does by hand (eval.py:359) — every
+        # process reads the same replicated scalars
         feats = encode(clips)
         logits = _all_logits(clf, feats)
         probs = sum(jax.nn.softmax(l) for l in logits) / len(logits)
         hit = (jnp.argmax(probs, -1) == labels).astype(jnp.float32)
-        return jnp.sum(hit * weights)
+        return jnp.sum(hit * weights), jnp.sum(weights)
 
     train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
     val_step = jax.jit(val_step)
     batch_sharding = mesh_lib.batch_sharding(mesh)
+
+    def put_global(arr):
+        return mesh_lib.put_global(batch_sharding, arr)
+
+    def _sample_major(arr, segments):
+        """Clip-major [S*B_local, ...] -> sample-major [B_local*S, ...].
+
+        The GLOBAL batch axis must lead before put_global: multi-process
+        assembly concatenates each process's block, and only a sample-major
+        local layout makes that concatenation a valid global batch (a
+        clip-major global array would interleave segment s of process p with
+        segment s+1 of process p-1 under reshape)."""
+        arr = np.asarray(arr)
+        sb = arr.shape[0]
+        b = sb // segments
+        arr = arr.reshape((segments, b) + arr.shape[1:])
+        arr = np.moveaxis(arr, 1, 0)
+        return np.ascontiguousarray(arr).reshape((b * segments,) + arr.shape[2:])
 
     # ---- resume -----------------------------------------------------------
     latest = os.path.join(folder, f"{tag}-latest")
@@ -277,28 +314,26 @@ def main(args_eval: dict, resume_preempt: bool = False):
     aug_key = jax.random.PRNGKey(1234)
 
     def to_views_train(np_batch, gstep):
-        clips = np_batch["clips"]  # [S*B, T, H, W, 3] uint8, clip-major
-        sb, t, h, w, c = clips.shape
-        b = sb // train_segments
-        clips = jax.device_put(jnp.asarray(clips), batch_sharding)
-        vhw = jax.device_put(jnp.asarray(np_batch["valid_hw"]), batch_sharding)
+        # [S*B, T, H, W, 3] uint8 clip-major -> sample-major global array
+        clips = put_global(_sample_major(np_batch["clips"], train_segments))
+        vhw = put_global(_sample_major(np_batch["valid_hw"], train_segments))
+        t, c = clips.shape[1], clips.shape[-1]
         out = pretrain_augment(
             jax.random.fold_in(aug_key, gstep), clips, aug_cfg, valid_hw=vhw
         )
-        out = out.reshape(train_segments, b, t, resolution, resolution, c)
-        out = jnp.transpose(out, (1, 0, 2, 3, 4, 5))[:, :, None]  # [B,S,1,...]
-        return out.astype(compute_dtype)
+        gb = out.shape[0] // train_segments
+        out = out.reshape(gb, train_segments, 1, t, resolution, resolution, c)
+        return out.astype(compute_dtype)  # [B, S, 1, T, H', W', C]
 
     def to_views_val(np_batch):
-        clips = np_batch["clips"]  # [S*B, T, H, W, 3]
+        clips = np.asarray(np_batch["clips"])  # [S*B, T, H, W, 3]
         sb, t, h, w, c = clips.shape
         b = sb // eval_num_segments
-        clips = jnp.asarray(clips).reshape(eval_num_segments, b, t, h, w, c)
-        clips = jnp.transpose(clips, (1, 0, 2, 3, 4, 5))  # [B, S, T, H, W, C]
-        clips = jax.device_put(clips, batch_sharding)
+        clips = _sample_major(clips, eval_num_segments)
+        clips = put_global(clips.reshape(b, eval_num_segments, t, h, w, c))
         # valid_hw rows are clip-major [S*B, 2], identical across a sample's
         # segments: the first B rows are segment 0's per-sample dims
-        vhw = jax.device_put(jnp.asarray(np_batch["valid_hw"][:b]), batch_sharding)
+        vhw = put_global(np.asarray(np_batch["valid_hw"][:b]))
         out = multiview_crops(
             clips, resolution, eval_num_views_per_segment, valid_hw=vhw
         )
@@ -311,7 +346,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
         train_meter = AverageMeter()
         for itr, np_batch in enumerate(train_loader):
             clips = to_views_train(np_batch, epoch * ipe + itr)
-            labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
+            labels = put_global(np_batch["labels"])
             clf_params, opt_state, step, metrics = train_step(
                 clf_params, opt_state, step, clips, labels
             )
@@ -330,20 +365,34 @@ def main(args_eval: dict, resume_preempt: bool = False):
         correct = total = 0.0
         k_item = 0
         for np_batch in val_loader:
-            clips = to_views_val(np_batch)
-            labels = jax.device_put(jnp.asarray(np_batch["labels"]), batch_sharding)
             b = len(np_batch["labels"])
             pos = rank + (k_item + np.arange(b)) * world_size
             w = (pos < len(val_ds)).astype(np.float32)
             k_item += b
-            weights = jax.device_put(jnp.asarray(w), batch_sharding)
-            correct += float(val_step(clf_params, clips, labels, weights))
-            total += float(w.sum())
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            ct = multihost_utils.process_allgather(np.asarray([correct, total]))
-            correct, total = float(ct[:, 0].sum()), float(ct[:, 1].sum())
+            if b < local_batch:
+                # pad the final partial batch to the compiled shape with
+                # zero-weight repeats: one compiled val program, and the
+                # global batch stays device-divisible under put_global
+                # (ShardedSampler pads every rank to equal counts, so all
+                # processes pad identically here)
+                pad = local_batch - b
+                np_batch = dict(np_batch)
+                np_batch["clips"] = _pad_clip_major(
+                    np_batch["clips"], eval_num_segments, pad
+                )
+                np_batch["valid_hw"] = _pad_clip_major(
+                    np_batch["valid_hw"], eval_num_segments, pad
+                )
+                np_batch["labels"] = np.concatenate(
+                    [np_batch["labels"], np.zeros(pad, np_batch["labels"].dtype)]
+                )
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
+            clips = to_views_val(np_batch)
+            labels = put_global(np_batch["labels"])
+            weights = put_global(w)
+            c, t = val_step(clf_params, clips, labels, weights)
+            correct += float(c)
+            total += float(t)
         val_acc = 100.0 * correct / max(1, total)
         val_accs.append(val_acc)
         logger.info("[%5d] train: %.3f%% test: %.3f%%", epoch + 1, train_meter.avg, val_acc)

@@ -82,9 +82,41 @@ def make_mesh_for_batch(batch_size: int, fsdp: int = 1, devices=None) -> Mesh:
     return make_mesh(data=data, fsdp=fsdp, devices=devices[: data * fsdp])
 
 
+def eval_batch_geometry(per_device_batch: int, devices=None):
+    """(mesh, local_batch) for the frozen-probe evals.
+
+    Reference eval YAML ``optimization.batch_size`` is PER-GPU (each DDP
+    rank loads batch_size items, reference
+    configs/evals/vitl16_k400_16x8x3.yaml:19); jepa_tpu reads it per-DEVICE:
+    each host loads ``batch_size * local_device_count`` and the mesh spans
+    every chip — reference YAMLs drive full machines with zero idle devices.
+    """
+    mesh = make_mesh(devices=devices)
+    n_local = (
+        len(devices) if devices is not None else jax.local_device_count()
+    )
+    return mesh, per_device_batch * n_local
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis split over data; rest replicated."""
     return NamedSharding(mesh, P("data"))
+
+
+def put_global(sharding: NamedSharding, arr):
+    """Host-local numpy slice -> globally-sharded device array.
+
+    Each host loads only its rank's data slice (loader.py ShardedSampler);
+    with >1 process a plain device_put against the GLOBAL mesh mis-shards,
+    so the multi-controller path assembles the global array from the
+    per-process shards (the TPU analogue of the reference's
+    DistributedSampler feeding per-rank DDP replicas, reference
+    src/datasets/video_dataset.py:71-75). Used by the pretrain app and
+    both frozen-probe evals.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(arr))
+    return jax.device_put(np.asarray(arr), sharding)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -126,3 +126,26 @@ def test_mesh_graceful_degradation():
         m = make_mesh_for_batch(16, devices=devs[:8])  # device-multiple: quiet
         assert dict(m.shape) == {"data": 8, "fsdp": 1}
         assert not w
+
+
+def test_reference_eval_yaml_drives_full_mesh():
+    """VERDICT round-2 item 4: optimization.batch_size in the reference eval
+    YAMLs is per-device; on an 8-device host vitl16_k400_16x8x3.yaml (batch 4)
+    must shard a local batch of 32 over all 8 devices with zero idling and
+    no warning."""
+    import warnings
+
+    import yaml
+
+    import jax
+    from jepa_tpu.parallel.mesh import eval_batch_geometry
+
+    cfg = yaml.safe_load(open("configs/evals/vitl16_k400_16x8x3.yaml"))
+    per_device = int(cfg["optimization"]["batch_size"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh, local_batch = eval_batch_geometry(per_device)
+    assert not w, [str(x.message) for x in w]
+    assert mesh.devices.size == jax.device_count() == 8
+    assert local_batch == per_device * 8 == 32
+    assert local_batch % mesh.shape["data"] == 0

@@ -59,7 +59,8 @@ def test_image_eval_end_to_end(image_root, tmp_path, tiny_pretrain_ckpt):
             "auto_augment": False,  # brightness-separable fixtures
         },
         "optimization": {
-            "batch_size": 4,
+            # per-DEVICE: 8 virtual devices -> loader batch 8
+            "batch_size": 1,
             "num_epochs": 3,
             "weight_decay": 0.01,
             "lr": 0.01,

@@ -57,7 +57,9 @@ def _eval_cfg(train_csv, val_csv, folder, ckpt, attend=True):
         },
         "optimization": {
             "resolution": 32,
-            "batch_size": 4,
+            # PER-DEVICE (reference: per-GPU): 8 virtual devices -> loader
+            # batch 8 = the whole 8-video train split per iteration
+            "batch_size": 1,
             "attend_across_segments": attend,
             "num_epochs": 3,
             "weight_decay": 0.01,

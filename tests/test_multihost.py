@@ -202,3 +202,133 @@ def test_two_process_train_matches_single_process(tmp_path):
     import numpy as np
     np.testing.assert_allclose(la0, la1, atol=1e-6)
     np.testing.assert_allclose(la0, lb, atol=5e-5)
+
+
+_EVAL_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=" + os.environ["NDEV"]
+sys.path = [p for p in sys.path if ".axon_site" not in p]
+sys.path.insert(0, os.environ["REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import json, yaml
+from jepa_tpu.evals.scaffold import main as eval_main
+cfg = yaml.safe_load(open(os.environ["CFG"]))
+accs = eval_main("video_classification_frozen", args_eval=cfg)
+print("EVAL_OK", json.dumps([float(a) for a in accs]), flush=True)
+"""
+
+
+def _mh_eval_cfg(train_csv, val_csv, folder, ckpt):
+    return {
+        "eval_name": "video_classification_frozen",
+        "resume_checkpoint": False,
+        "pretrain": {
+            "model_name": "vit_tiny", "checkpoint_key": "target_encoder",
+            "folder": folder, "checkpoint": ckpt, "write_tag": "probe",
+            "patch_size": 16, "tubelet_size": 2, "frames_per_clip": 4,
+            # clip_len = 4*8 = 32 > the 48/2-frame segment partition, so
+            # clip-index sampling takes the rng-free allow_clip_overlap
+            # branch — frames are identical regardless of per-rank rng
+            "frame_step": 8, "uniform_power": True,
+        },
+        "data": {
+            "dataset_train": train_csv, "dataset_val": val_csv,
+            "num_classes": 2, "frames_per_clip": 4, "num_segments": 2,
+            "num_views_per_segment": 2, "decode_backend": "native",
+            "num_workers": 1, "auto_augment": False,
+        },
+        "optimization": {
+            "resolution": 32, "batch_size": 1, "attend_across_segments": True,
+            "num_epochs": 2, "weight_decay": 0.01, "lr": 0.005,
+            "start_lr": 0.001, "final_lr": 0.0005, "warmup": 0.5,
+            "use_bfloat16": False,
+        },
+    }
+
+
+@pytest.mark.timeout(420)
+def test_two_process_eval_matches_single_process(tmp_path, tiny_pretrain_ckpt):
+    """VERDICT round-2 item 2: the video eval app run as 2 processes x 1
+    device (global batches assembled via put_global) must produce the same
+    per-epoch val accuracies as 1 process x 2 devices.
+
+    Per-device batch_size=1 puts rank r's k-th sample at global position
+    2k+r, exactly the single-process batch order, so training (and hence
+    accuracy) matches step for step."""
+    import json
+
+    import yaml
+
+    videodec = pytest.importorskip("jepa_tpu.native.videodec")
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    train_rows, val_rows = [], []
+    for cls in range(2):
+        for i in range(4):
+            p = str(vids / f"c{cls}_v{i}.mp4")
+            videodec.write_test_video(
+                p, num_frames=48, width=96, height=96, seed=cls * 100
+            )
+            (train_rows if i < 2 else val_rows).append(f"{p} {cls}")
+    train_csv = tmp_path / "train.csv"
+    val_csv = tmp_path / "val.csv"
+    train_csv.write_text("\n".join(train_rows) + "\n")
+    val_csv.write_text("\n".join(val_rows) + "\n")
+
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    port_num = port.getsockname()[1]
+    port.close()
+
+    worker = tmp_path / "eval_worker.py"
+    worker.write_text(_EVAL_WORKER)
+    env_base = {k: v for k, v in os.environ.items() if ".axon_site" not in v}
+
+    # --- run A: 2 processes x 1 device ---
+    cfg_a = _mh_eval_cfg(str(train_csv), str(val_csv), str(tmp_path / "runA"),
+                         tiny_pretrain_ckpt)
+    cfg_a_path = tmp_path / "cfg_a.yaml"
+    cfg_a_path.write_text(yaml.safe_dump(cfg_a))
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env.update(
+            REPO=os.getcwd(), CFG=str(cfg_a_path), NDEV="1", PYTHONPATH="",
+            SLURM_NTASKS="2", SLURM_PROCID=str(rank),
+            MASTER_ADDR="localhost", MASTER_PORT=str(port_num),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=360)[0] for p in procs]
+    accs_a = []
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and "EVAL_OK" in out, \
+            f"rank {rank} failed:\n{out[-3000:]}"
+        accs_a.append(json.loads(out.split("EVAL_OK", 1)[1].splitlines()[0]))
+
+    # --- run B: 1 process x 2 devices ---
+    cfg_b = _mh_eval_cfg(str(train_csv), str(val_csv), str(tmp_path / "runB"),
+                         tiny_pretrain_ckpt)
+    cfg_b_path = tmp_path / "cfg_b.yaml"
+    cfg_b_path.write_text(yaml.safe_dump(cfg_b))
+    env = dict(env_base)
+    env.update(REPO=os.getcwd(), CFG=str(cfg_b_path), NDEV="2", PYTHONPATH="")
+    env.pop("SLURM_NTASKS", None)
+    p = subprocess.Popen(
+        [sys.executable, str(worker)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    out, _ = p.communicate(timeout=360)
+    assert p.returncode == 0 and "EVAL_OK" in out, out[-3000:]
+    accs_b = json.loads(out.split("EVAL_OK", 1)[1].splitlines()[0])
+
+    import numpy as np
+
+    # both ranks of run A agree (allgathered accounting), and equal run B
+    np.testing.assert_allclose(accs_a[0], accs_a[1], atol=1e-6)
+    np.testing.assert_allclose(accs_a[0], accs_b, atol=1e-3)

@@ -86,3 +86,20 @@ def test_build_schedules_vitl16_config_values():
     np.testing.assert_allclose(float(wd_s(112500)), 0.4, rtol=1e-5)
     # 90K updates = reference's published pretrain length; momentum < 1 there.
     assert 0.998 < float(mom_s(90000)) < 1.0
+
+
+def test_probe_wd_schedule_matches_reference_eval_recipe():
+    """The eval init_opt consumes CosineWDSchedule(ref_wd=config wd,
+    final_wd=1e-6) — final_wd is the reference's default, never overridden
+    (reference evals/video_classification_frozen/eval.py:529-534, 555-558).
+    Both probe apps must decay config wd -> 1e-6, not hold it constant."""
+    ipe, epochs, wd = 37, 20, 0.01
+    sched = CosineWD(ref_wd=wd, final_wd=1e-6, t_max=epochs * ipe)
+    steps = list(range(1, epochs * ipe + 1, 11)) + [epochs * ipe]
+    want = np.array([_oracle_wd(i, wd, 1e-6, epochs * ipe) for i in steps])
+    np.testing.assert_allclose(
+        np.asarray(sched(np.array(steps))), want, rtol=1e-4, atol=1e-9
+    )
+    # decays to 1e-6 at the end, like the published 80.8-K400 recipe
+    np.testing.assert_allclose(float(sched(epochs * ipe)), 1e-6, rtol=1e-3)
+    assert float(sched(1)) > 0.9 * wd
