@@ -77,9 +77,22 @@ def load_encoder(
     uniform_power: bool = False,
     checkpoint_key: str = "target_encoder",
     compute_dtype=jnp.bfloat16,
+    tolerant: bool = False,
 ) -> Encoder:
     """Load a frozen encoder from a jepa_tpu orbax checkpoint (pretraining
-    output / port_cli conversion) or a reference ``.pth.tar`` zoo file."""
+    output / port_cli conversion) or a reference ``.pth.tar`` zoo file.
+
+    ``checkpoint_key`` must be 'target_encoder' or 'encoder' (the two keys
+    the reference zoo scheme defines, eval.py:420-427). Porting is STRICT
+    by default: a key/shape mismatch raises rather than silently serving a
+    partially-random encoder; pass ``tolerant=True`` to opt into the
+    reference's tolerant merge (mismatched leaves keep their init).
+    """
+    if checkpoint_key not in ("target_encoder", "encoder"):
+        raise ValueError(
+            f"checkpoint_key must be 'target_encoder' or 'encoder', "
+            f"got {checkpoint_key!r}"
+        )
     kwargs = dict(img_size=img_size, num_frames=num_frames,
                   tubelet_size=tubelet_size, uniform_power=uniform_power,
                   compute_dtype=compute_dtype)
@@ -90,15 +103,14 @@ def load_encoder(
         from jepa_tpu.utils.checkpoint_port import load_pretrained_encoder
 
         params, consts = load_pretrained_encoder(
-            checkpoint, cfg, checkpoint_key, tolerant=True
+            checkpoint, cfg, checkpoint_key, tolerant=tolerant
         )
     else:
         from jepa_tpu.utils import checkpoint as ckpt_lib
 
         params, consts = init_vit(jax.random.PRNGKey(0), cfg)
-        sub = ("target" if checkpoint_key == "target_encoder" else None)
-        if sub:
-            params = ckpt_lib.load_subtree(checkpoint, {sub: params})[sub]
+        if checkpoint_key == "target_encoder":
+            params = ckpt_lib.load_subtree(checkpoint, {"target": params})["target"]
         else:
             params = ckpt_lib.load_subtree(
                 checkpoint, {"params": {"encoder": params}}

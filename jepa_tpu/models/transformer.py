@@ -45,7 +45,9 @@ class BlockCfg:
     # FORWARD instances (target encoder, frozen eval encode), but a net
     # LOSS under autodiff (XLA fuses dgelu into the remat recompute, which
     # a custom_vjp cannot) — so callers enable it only on grad-free paths.
-    fused_mlp: bool = False
+    # False | True (auto: fused fc1 kernel on TPU only) | 'force' (always,
+    # incl. interpret-mode — kernel tests)
+    fused_mlp: object = False
 
     def __post_init__(self):
         if self.dim % self.num_heads != 0:
@@ -74,10 +76,15 @@ def linear(x, p, compute_dtype):
 
 
 def mlp(x, p, cfg: BlockCfg):
-    from jepa_tpu.ops.attention import resolve_flash
+    from jepa_tpu.ops.fused_mlp import resolve_fused_mlp
 
     cd = cfg.compute_dtype
-    if cfg.fused_mlp and resolve_flash(cfg.attn_impl, x.shape[1], x.shape[1]):
+    # fused-fc1 eligibility is its own resolver (TPU-only; tiles over B*N
+    # rows so there is no sequence-length requirement) — NOT the attention
+    # dispatch heuristic: forced attn_impl='flash' on CPU must not route
+    # the MLP through interpret-mode Pallas. fused_mlp='force' overrides
+    # for kernel tests.
+    if cfg.fused_mlp and (cfg.fused_mlp == "force" or resolve_fused_mlp()):
         # fused matmul+bias+GELU Pallas kernel: the VPU gelu epilogue of
         # tile i overlaps tile i+1's MXU matmul (XLA's fc1 fusion runs the
         # exact-erf tail serially — 3.03 vs 1.6 ms/layer, round-2 xplane)

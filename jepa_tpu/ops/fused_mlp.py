@@ -197,3 +197,13 @@ def linear_gelu(
     x2 = x.reshape(m, k)
     out = _linear_gelu(bool(interpret), x2, w, b)
     return out.reshape(*lead, f)
+
+
+def resolve_fused_mlp() -> bool:
+    """Fused-fc1 eligibility: TPU backends only. Deliberately independent of
+    the attention dispatch heuristic — linear_gelu tiles over B*N rows, so
+    there is no sequence-length requirement, and interpret-mode Pallas on
+    CPU is orders of magnitude slower than XLA's fc1 fusion."""
+    from jepa_tpu.ops.attention import _on_tpu
+
+    return _on_tpu()

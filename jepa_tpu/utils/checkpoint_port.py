@@ -259,13 +259,30 @@ def load_pretrained_encoder(
         sd = ckpt["encoder"]
     else:
         sd = ckpt  # raw state_dict
-    if not tolerant:
-        return port_encoder(sd, cfg)
     import jax
 
     from jepa_tpu.models.vit import init_vit
 
     init_params, init_consts = init_vit(jax.random.PRNGKey(0), cfg)
+    if not tolerant:
+        params, consts = port_encoder(sd, cfg)
+        # strict: every ported leaf must match the model's init shape — a
+        # geometry-mismatched zoo file raises here rather than serving a
+        # wrong (or partially random) encoder that only fails downstream
+        bad = [
+            f"{'/'.join(map(str, kp))}: ckpt{tuple(got.shape)} != model{tuple(want.shape)}"
+            for tree, init in ((params, init_params), (consts, init_consts))
+            for (kp, got), want in zip(
+                jax.tree_util.tree_leaves_with_path(tree), jax.tree.leaves(init)
+            )
+            if tuple(got.shape) != tuple(want.shape)
+        ]
+        if bad:
+            raise ValueError(
+                "strict checkpoint port: shape mismatches (pass tolerant=True "
+                "to keep init for mismatched leaves):\n  " + "\n  ".join(bad)
+            )
+        return params, consts
     try:
         params, consts = port_encoder(sd, cfg)
     except KeyError as e:

@@ -73,3 +73,31 @@ def test_load_encoder_from_zoo_pth(tmp_path):
     want = vit_forward(params, consts, jnp.asarray(x), cfg)
     np.testing.assert_allclose(np.asarray(enc.encode(x)), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_load_encoder_validates_key_and_defaults_strict(tmp_path):
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from jepa_tpu.models.vit import init_vit
+    from jepa_tpu.utils.checkpoint_port import save_torch_checkpoint
+
+    # typo'd checkpoint_key raises instead of silently mapping elsewhere
+    with pytest.raises(ValueError, match="checkpoint_key"):
+        load_encoder("whatever.pth.tar", "vit_tiny", checkpoint_key="target")
+
+    # strict-by-default porting: a geometry-mismatched zoo file must raise,
+    # not silently serve a partially-random encoder
+    cfg_small = vit_cfg("vit_tiny", img_size=32, patch_size=16, num_frames=4,
+                        tubelet_size=2, compute_dtype=jnp.float32)
+    params, consts = init_vit(jax.random.PRNGKey(7), cfg_small)
+    src = str(tmp_path / "mismatch.pth.tar")
+    save_torch_checkpoint(src, target_encoder=(params, consts), epoch=1, cfg=cfg_small)
+    with pytest.raises(Exception):
+        load_encoder(src, "vit_small", img_size=32, patch_size=16,
+                     num_frames=4, tubelet_size=2, compute_dtype=jnp.float32)
+    # tolerant=True opts into the reference's tolerant merge
+    enc = load_encoder(src, "vit_small", img_size=32, patch_size=16,
+                       num_frames=4, tubelet_size=2,
+                       compute_dtype=jnp.float32, tolerant=True)
+    assert enc.embed_dim == 384

@@ -75,7 +75,9 @@ def test_mlp_uses_fused_kernel_consistently():
 
     outs, grads = {}, {}
     for impl in ("xla", "flash"):
-        cfg = BlockCfg(**base, attn_impl=impl, fused_mlp=(impl == "flash"))
+        # 'force' exercises the fused kernel even on CPU (interpret mode);
+        # plain True is TPU-gated by resolve_fused_mlp
+        cfg = BlockCfg(**base, attn_impl=impl, fused_mlp=("force" if impl == "flash" else False))
 
         def loss(p, x):
             out, _ = run_blocks(x, p, cfg)
