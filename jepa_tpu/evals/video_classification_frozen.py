@@ -105,6 +105,10 @@ def main(args_eval: dict, resume_preempt: bool = False):
     resolution = int(args_opt.get("resolution", 224))
     batch_size = int(args_opt.get("batch_size"))
     attend_across_segments = bool(args_opt.get("attend_across_segments", False))
+    # opt-in 1D temporal sin-cos pos-embed over aggregated segments, indexed
+    # by true clip frame indices (reference ClipAggregation(use_pos_embed=),
+    # utils.py:106-119; the reference eval leaves it at the default False)
+    use_pos_embed = bool(args_opt.get("use_pos_embed", False))
     num_epochs = int(args_opt.get("num_epochs"))
     wd = float(args_opt.get("weight_decay", 0.01))
     start_lr = float(args_opt.get("start_lr"))
@@ -221,26 +225,36 @@ def main(args_eval: dict, resume_preempt: bool = False):
     )
 
     # ---- jitted programs ------------------------------------------------------
-    def encode(clips):
-        """clips [B, S, V, T, H, W, C] -> list of aggregated feature seqs."""
-        # NOTE: the reference constructs ClipAggregation with
-        # use_pos_embed=False (eval.py:172), so the temporal pos-embed table
-        # stays unused by default; pos_table is kept for the opt-in path.
+    from jepa_tpu.evals.aggregation import temporal_pos_embed_table
+
+    pos_table = (
+        temporal_pos_embed_table(enc_cfg.embed_dim, tubelet_size=tubelet_size)
+        if use_pos_embed
+        else None
+    )
+
+    def encode(clips, clip_indices=None):
+        """clips [B, S, V, T, H, W, C] -> list of aggregated feature seqs.
+        clip_indices [B, S, T]: true frame indices (pos-embed opt-in)."""
         if is_video_encoder:
             return clip_aggregation(
                 enc_params, enc_consts, clips, enc_cfg,
                 attend_across_segments=attend_across_segments,
+                pos_embed_table=pos_table, clip_indices=clip_indices,
             )
-        return frame_aggregation(enc_params, enc_consts, clips, enc_cfg)
+        return frame_aggregation(
+            enc_params, enc_consts, clips, enc_cfg,
+            pos_embed_table=pos_table, clip_indices=clip_indices,
+        )
 
     def _all_logits(clf, feats):
         if attend_across_segments or not is_video_encoder:
             return [classifier_forward(clf, o, acfg) for o in feats]
         return [classifier_forward(clf, o, acfg) for views in feats for o in views]
 
-    def train_step(clf, opt, step, clips, labels):
+    def train_step(clf, opt, step, clips, labels, clip_indices=None):
         clips = jax.lax.stop_gradient(clips)
-        feats = [jax.lax.stop_gradient(f) for f in encode(clips)]
+        feats = [jax.lax.stop_gradient(f) for f in encode(clips, clip_indices)]
         sched_step = (step + 1).astype(jnp.float32)
         lr_now = lr_sched(sched_step)
         wd_now = wd_sched(sched_step)
@@ -263,12 +277,12 @@ def main(args_eval: dict, resume_preempt: bool = False):
         )
         return clf, opt, step + 1, {"loss": loss, "acc": acc * 100.0, "lr": lr_now}
 
-    def val_step(clf, clips, labels, weights):
+    def val_step(clf, clips, labels, weights, clip_indices=None):
         # returns GLOBAL (correct, total): the sums run over the
         # data-sharded global batch, so XLA's reduction IS the cross-rank
         # AllReduce the reference does by hand (eval.py:359) — every
         # process reads the same replicated scalars
-        feats = encode(clips)
+        feats = encode(clips, clip_indices)
         logits = _all_logits(clf, feats)
         probs = sum(jax.nn.softmax(l) for l in logits) / len(logits)
         hit = (jnp.argmax(probs, -1) == labels).astype(jnp.float32)
@@ -280,6 +294,18 @@ def main(args_eval: dict, resume_preempt: bool = False):
 
     def put_global(arr):
         return mesh_lib.put_global(batch_sharding, arr)
+
+    def put_clip_indices(np_batch, pad=0):
+        """collate's per-sample clip-index lists -> global [B, S, T] int32
+        (None unless the pos-embed opt-in is on)."""
+        if not use_pos_embed:
+            return None
+        ci = np.stack(
+            [np.stack(s) for s in np_batch["clip_indices"]]
+        ).astype(np.int32)
+        if pad:
+            ci = np.concatenate([ci, np.repeat(ci[-1:], pad, 0)])
+        return put_global(ci)
 
     def _sample_major(arr, segments):
         """Clip-major [S*B_local, ...] -> sample-major [B_local*S, ...].
@@ -348,7 +374,8 @@ def main(args_eval: dict, resume_preempt: bool = False):
             clips = to_views_train(np_batch, epoch * ipe + itr)
             labels = put_global(np_batch["labels"])
             clf_params, opt_state, step, metrics = train_step(
-                clf_params, opt_state, step, clips, labels
+                clf_params, opt_state, step, clips, labels,
+                put_clip_indices(np_batch),
             )
             train_meter.update(float(metrics["acc"]))
             if itr % 20 == 0:
@@ -369,6 +396,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
             pos = rank + (k_item + np.arange(b)) * world_size
             w = (pos < len(val_ds)).astype(np.float32)
             k_item += b
+            clip_indices = put_clip_indices(np_batch, pad=local_batch - b)
             if b < local_batch:
                 # pad the final partial batch to the compiled shape with
                 # zero-weight repeats: one compiled val program, and the
@@ -390,7 +418,7 @@ def main(args_eval: dict, resume_preempt: bool = False):
             clips = to_views_val(np_batch)
             labels = put_global(np_batch["labels"])
             weights = put_global(w)
-            c, t = val_step(clf_params, clips, labels, weights)
+            c, t = val_step(clf_params, clips, labels, weights, clip_indices)
             correct += float(c)
             total += float(t)
         val_acc = 100.0 * correct / max(1, total)

@@ -96,3 +96,45 @@ def test_eval_video_per_segment_mode(class_videos, tmp_path, tiny_pretrain_ckpt)
     cfg["optimization"]["num_epochs"] = 1
     val_accs = eval_main("video_classification_frozen", args_eval=cfg)
     assert len(val_accs) == 1 and np.isfinite(val_accs[0])
+
+
+def test_eval_video_use_pos_embed_opt_in(class_videos, tmp_path, tiny_pretrain_ckpt):
+    """optimization.use_pos_embed wires the 1D temporal pos-embed + true
+    clip_indices through both jitted programs (reference ClipAggregation
+    opt-in, utils.py:106-119)."""
+    from jepa_tpu.evals.scaffold import main as eval_main
+
+    train_csv, val_csv = class_videos
+    cfg = _eval_cfg(train_csv, val_csv, str(tmp_path), tiny_pretrain_ckpt, attend=True)
+    cfg["optimization"]["num_epochs"] = 1
+    cfg["optimization"]["use_pos_embed"] = True
+    val_accs = eval_main("video_classification_frozen", args_eval=cfg)
+    assert len(val_accs) == 1 and np.isfinite(val_accs[0])
+
+
+def test_clip_aggregation_temporal_pos_embed_rows():
+    """The opt-in adds table[clip_indices[::tubelet]] repeated over spatial
+    tokens — checked against a by-hand composition."""
+    import jax
+    import jax.numpy as jnp
+
+    from jepa_tpu.evals.aggregation import clip_aggregation, temporal_pos_embed_table
+    from jepa_tpu.models.factory import vit_cfg
+    from jepa_tpu.models.vit import init_vit
+
+    cfg = vit_cfg("vit_tiny", img_size=32, patch_size=16, num_frames=4,
+                  tubelet_size=2, compute_dtype=jnp.float32)
+    params, consts = init_vit(jax.random.PRNGKey(0), cfg)
+    clips = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 1, 4, 32, 32, 3))
+    table = temporal_pos_embed_table(cfg.embed_dim, tubelet_size=2)
+    ci = jnp.asarray([[[0, 1, 2, 3], [10, 11, 12, 13]]])  # [B=1, S=2, T=4]
+
+    base = clip_aggregation(params, consts, clips, cfg,
+                            attend_across_segments=True)[0]
+    out = clip_aggregation(params, consts, clips, cfg,
+                           attend_across_segments=True,
+                           pos_embed_table=table, clip_indices=ci)[0]
+    n_spatial = (32 // 16) ** 2
+    pe = np.repeat(np.asarray(table)[[0, 2, 10, 12]], n_spatial, axis=0)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base[0]) + pe,
+                               atol=1e-5, rtol=1e-5)
