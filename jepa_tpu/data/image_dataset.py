@@ -101,6 +101,7 @@ def make_image_loader(
     num_workers: int = 8,
     seed: int = 0,
     drop_last: bool = None,
+    use_processes: bool = None,
 ):
     from jepa_tpu.data.loader import DataLoader, ShardedSampler
 
@@ -110,6 +111,10 @@ def make_image_loader(
     )
     if drop_last is None:
         drop_last = training
+    if use_processes is None:
+        # PIL JPEG decode holds the GIL: multi-worker image loading needs
+        # real processes to scale (reference: torch DataLoader workers)
+        use_processes = num_workers > 1
     sampler = ShardedSampler(
         num_samples=len(ds), rank=rank, world_size=world_size,
         shuffle=training, seed=seed, drop_last=drop_last,
@@ -117,5 +122,6 @@ def make_image_loader(
     loader = DataLoader(
         ds, sampler, batch_size=batch_size, num_workers=num_workers,
         collate=image_collate, drop_last=drop_last,
+        use_processes=use_processes, seed=seed,
     )
     return ds, loader, sampler

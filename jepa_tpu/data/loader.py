@@ -74,12 +74,38 @@ class WeightedShardedSampler(ShardedSampler):
         return iter(order[self.rank :: self.world].tolist())
 
 
+_PROC_DS = None
+
+
+def _proc_init(ds, seed):
+    """Process-pool worker initializer: pin the (forked) dataset and reseed
+    any per-dataset rng so workers do not replay identical random streams
+    (torch DataLoader's worker seeding, video_dataset.py:77-85 analogue)."""
+    global _PROC_DS
+    _PROC_DS = ds
+    rng = getattr(ds, "_rng", None)
+    if rng is not None:
+        import os as _os
+
+        ds._rng = np.random.default_rng(seed + _os.getpid())
+
+
+def _proc_get(i):
+    return _PROC_DS[i]
+
+
 class DataLoader:
-    """Threaded prefetching loader over a map-style dataset.
+    """Prefetching loader over a map-style dataset.
 
     collate: list of dataset items -> batch (default stacks clips into
     [B*num_clips, T, H, W, C] uint8 in the reference's clip-major layout
     plus labels). Exhausted iterators restart on the next __iter__.
+
+    use_processes: decode items in a fork-based process pool instead of a
+    thread pool. Threads are right for the GIL-releasing native video
+    decoder; PIL JPEG decode HOLDS the GIL, so the image probe opts into
+    processes (the reference uses 12 torch DataLoader worker processes,
+    video_dataset.py:77-85).
     """
 
     def __init__(
@@ -91,6 +117,8 @@ class DataLoader:
         prefetch: int = 2,
         collate=None,
         drop_last: bool = True,
+        use_processes: bool = False,
+        seed: int = 0,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -99,6 +127,8 @@ class DataLoader:
         self.prefetch = prefetch
         self.collate = collate or default_collate
         self.drop_last = drop_last
+        self.use_processes = use_processes
+        self.seed = seed
 
     def __len__(self):
         n = len(self.sampler)
@@ -114,18 +144,48 @@ class DataLoader:
         if idx and not self.drop_last:
             yield idx
 
+    def _make_pool(self):
+        if self.use_processes:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            return ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=mp.get_context("fork"),
+                initializer=_proc_init,
+                initargs=(self.dataset, self.seed),
+            )
+        return ThreadPoolExecutor(self.num_workers)
+
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        get_item = _proc_get if self.use_processes else self.dataset.__getitem__
+
+        def bounded_put(item) -> bool:
+            """put that never wedges the producer: an abandoned consumer
+            (break out of the epoch loop) sets stop, and the producer exits
+            instead of blocking in q.put forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in self._batches():
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(self.collate(items))
-            q.put(None)
+            try:
+                with self._make_pool() as pool:
+                    for batch_idx in self._batches():
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(get_item, batch_idx))
+                        if not bounded_put(self.collate(items)):
+                            return
+                bounded_put(None)
+            except BaseException as e:  # propagate: a dead producer must
+                bounded_put(e)          # raise in the consumer, not hang it
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -134,6 +194,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -128,22 +128,31 @@ def op_sharpness(clip, m, sign):
 
 
 def _affine_sample(clip, a, b, c, d, e, f):
-    """x_src = a*x + b*y + c;  y_src = d*x + e*y + f  (PIL convention)."""
+    """PIL ``Image.transform(AFFINE, (a,b,c,d,e,f))`` semantics.
+
+    PIL maps the CENTER of output pixel (x, y): src = M @ (x+0.5, y+0.5),
+    then its bilinear filter samples at src - 0.5 (Geometry.c). Net:
+    sx = a*x + b*y + (c + 0.5*(a+b) - 0.5). Identity stays identity; the
+    half-pixel term is what makes shear/translate match PIL exactly
+    (verified per-op in test_randaugment's PIL-oracle parity tests)."""
     t, h, w, ch = clip.shape
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    sx = a * xx + b * yy + c
-    sy = d * xx + e * yy + f
+    sx = a * xx + b * yy + (c + 0.5 * (a + b) - 0.5)
+    sy = d * xx + e * yy + (f + 0.5 * (d + e) - 0.5)
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     wx = sx - x0
     wy = sy - y0
     valid = (sx >= -1) & (sx <= w) & (sy >= -1) & (sy <= h)
+    # clamp each tap independently (PIL edge behavior): at sx in (-1, 0)
+    # BOTH taps must clamp to column 0 — clamping x0 first and adding 1
+    # would wrongly blend columns 0 and 1
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
 
     def warp_frame(fr):
         c00 = fr[y0i, x0i]
@@ -159,12 +168,15 @@ def _affine_sample(clip, a, b, c, d, e, f):
 
 
 def op_rotate(clip, m, sign):
+    # PIL img.rotate(deg) == transform(AFFINE) about center (w/2, h/2)
+    # with angle = -radians(deg) (reference randaugment.py:95-125); under
+    # _affine_sample's half-pixel convention the effective sampling center
+    # lands at ((w-1)/2, (h-1)/2), exactly PIL's.
     deg = sign * m / 10.0 * 30.0
     rad = jnp.deg2rad(deg)
     t, h, w, _ = clip.shape
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cx, cy = w / 2.0, h / 2.0
     cos, sin = jnp.cos(rad), jnp.sin(rad)
-    # rotate about center
     a, b = cos, -sin
     d, e = sin, cos
     c = cx - a * cx - b * cy
@@ -333,9 +345,10 @@ def _smooth(clip):
 
 
 def _rotate_deg(clip, deg):
+    # PIL center convention — see op_rotate
     rad = jnp.deg2rad(deg)
     t, h, w, _ = clip.shape
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cx, cy = w / 2.0, h / 2.0
     cos, sin = jnp.cos(rad), jnp.sin(rad)
     a, b = cos, -sin
     d, e = sin, cos

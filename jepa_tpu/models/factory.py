@@ -51,6 +51,7 @@ def vit_cfg(
     attn_impl: str = "auto",
     remat: bool = False,
     fused_mlp: bool = False,
+    scan_unroll: int = 1,
 ) -> ViTCfg:
     if model_name not in _SPECS:
         raise ValueError(f"unknown model {model_name!r}; options: {sorted(_SPECS)}")
@@ -69,6 +70,7 @@ def vit_cfg(
         attn_impl=attn_impl,
         remat=remat,
         fused_mlp=fused_mlp,
+        scan_unroll=scan_unroll,
     )
 
 
@@ -81,6 +83,7 @@ def predictor_cfg_for(
     num_mask_tokens: int = 2,
     zero_init_mask_tokens: bool = True,
     remat=None,
+    scan_unroll: int = None,
 ) -> PredictorCfg:
     """Predictor sized from the encoder (reference app/vjepa/utils.py:108-125)."""
     return PredictorCfg(
@@ -99,4 +102,5 @@ def predictor_cfg_for(
         compute_dtype=enc.compute_dtype,
         attn_impl=enc.attn_impl,
         remat=enc.remat if remat is None else remat,
+        scan_unroll=enc.scan_unroll if scan_unroll is None else scan_unroll,
     )

@@ -57,6 +57,7 @@ class PredictorCfg:
     compute_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
     remat: bool = False
+    scan_unroll: int = 1  # layers per scan iteration (see run_blocks)
 
     @property
     def is_video(self) -> bool:
@@ -187,7 +188,8 @@ def predictor_forward(
             axis=1,
         )
 
-    out, _ = run_blocks(seq, params["blocks"], cfg.block_cfg(), kv_mask=kv_mask, remat=cfg.remat)
+    out, _ = run_blocks(seq, params["blocks"], cfg.block_cfg(), kv_mask=kv_mask,
+                        remat=cfg.remat, unroll=cfg.scan_unroll)
     out = layer_norm(out, params["norm"]["scale"], params["norm"]["bias"], cfg.ln_eps)
     out = out[:, n_ctxt:]
     out = linear(out, params["predictor_proj"], dtype)

@@ -149,7 +149,8 @@ def _save_flash_residuals(prim, *_, **__):
     return prim.name == "remat_opt"
 
 
-def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, remat=False):
+def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False,
+               remat=False, unroll: int = 1):
     """Run a stacked block pytree with lax.scan.
 
     x: [B, N, D] (cast to compute dtype inside). When ``collect_layers`` is
@@ -160,6 +161,10 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, re
     (selective: save per-layer attention outputs, recompute LN/MLP — skips
     re-running the flash kernel in the backward pass at ~2 extra bytes/
     token/layer of HBM).
+
+    unroll: layers per scan iteration (lax.scan unroll). >1 gives XLA
+    several per-layer dW updates per loop body to fuse/alias — a lever on
+    the scan-transpose grad-stack DUS copies.
     """
     x = x.astype(cfg.compute_dtype)
 
@@ -175,7 +180,7 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False, re
         body = jax.checkpoint(body, prevent_cse=False, policy=_save_flash_residuals)
     elif remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    final, layers = jax.lax.scan(body, x, stacked)
+    final, layers = jax.lax.scan(body, x, stacked, unroll=unroll)
     return (final, layers) if collect_layers else (final, None)
 
 

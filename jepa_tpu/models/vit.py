@@ -61,6 +61,7 @@ class ViTCfg:
     attn_impl: str = "auto"
     remat: bool = False
     fused_mlp: bool = False  # grad-free forwards only; see BlockCfg.fused_mlp
+    scan_unroll: int = 1  # layers per scan iteration (see run_blocks)
 
     @property
     def is_video(self) -> bool:
@@ -201,6 +202,7 @@ def vit_forward(
         kv_mask=kv_mask,
         collect_layers=collect,
         remat=cfg.remat,
+        unroll=cfg.scan_unroll,
     )
     if collect:
         return [

@@ -784,6 +784,15 @@ def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim):
     q = q_ref[0]  # [bq, gl]
     k = k_ref[0]  # [nk, gl]
     v = v_ref[0]
+    # The softmax is the VPU bottleneck (round-3 xplane: predictor fwd
+    # 2.16 ms/layer vs a 0.35 ms MXU floor), so every score-sized VPU pass
+    # counts. Two cuts vs the naive form:
+    #   * exp2 writes p in the compute dtype directly (one pass, half the
+    #     write bytes) instead of fp32-exp2 + separate cast pass;
+    #   * the softmax denominator rides the o matmul as a ones column
+    #     appended to v (the MXU output tile is 128 lanes regardless of c,
+    #     so the extra column is free) — the [bq, nk] sum pass disappears.
+    ones = jnp.ones((v.shape[0], 1), v.dtype)
     outs, lses = [], []
     for h in range(heads):
         sl = slice(h * hdim, (h + 1) * hdim)
@@ -795,14 +804,14 @@ def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim):
         if mask_ref is not None:
             s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+        p = jnp.exp2(s - m).astype(v.dtype)
+        v_ext = jnp.concatenate([v[:, sl], ones], axis=1)  # [nk, c+1]
+        o_l = jax.lax.dot_general(
+            p, v_ext, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        l_safe = jnp.maximum(l, 1e-30)
-        outs.append((o / l_safe).astype(o_ref.dtype))
+        )  # [bq, c+1]: o unnormalized | l
+        l_safe = jnp.maximum(o_l[:, hdim:hdim + 1], 1e-30)
+        outs.append((o_l[:, :hdim] / l_safe).astype(o_ref.dtype))
         lses.append(m + jnp.log2(l_safe))  # [bq, 1], base-2 units
     o_ref[0] = jnp.concatenate(outs, axis=1)
     lse_ref[0, 0] = jnp.concatenate(lses, axis=1)
@@ -872,15 +881,18 @@ def _bwd_tm_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
         )  # [bk, nq]
         if mask_ref is not None:
             st = jnp.where(mask_ref[0][:, 0:1], st, _NEG_INF)
-        pt = jnp.exp2(st - lse)
+        # exp2 emits the compute dtype directly: kills the separate
+        # fp32->bf16 cast pass and halves pt's write/read bytes (the bwd
+        # softmax passes are the VPU bottleneck — see _fwd_tm_kernel)
+        pt = jnp.exp2(st - lse).astype(do.dtype)
         dv = jax.lax.dot_general(
-            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            pt, do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dpt = jax.lax.dot_general(
             v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bk, nq]
-        dst = (pt * (dpt - delta)).astype(q.dtype)
+        dst = (pt.astype(jnp.float32) * (dpt - delta)).astype(q.dtype)
         dk = jax.lax.dot_general(
             dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )

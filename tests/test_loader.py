@@ -54,3 +54,94 @@ def test_loader_prefetch_and_restart():
     # iterating again restarts cleanly
     b = [b for b in loader]
     assert b == a
+
+
+class _SlowDs:
+    def __len__(self):
+        return 64
+
+    def __getitem__(self, i):
+        import time
+
+        time.sleep(0.005)
+        return np.full((1, 2, 4, 4, 3), i % 256, np.uint8), i, None, None
+
+
+def test_abandoned_consumer_does_not_wedge_producer():
+    """Breaking out of the epoch loop must release the producer thread:
+    bounded q.put re-checks the stop event instead of blocking forever
+    (round-2 advisor leak)."""
+    import threading
+    import time
+
+    from jepa_tpu.data.loader import DataLoader, ShardedSampler
+
+    ds = _SlowDs()
+    before = threading.active_count()
+    for _ in range(5):
+        loader = DataLoader(
+            ds, ShardedSampler(num_samples=len(ds)), batch_size=4,
+            num_workers=2, prefetch=1,
+        )
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch -> GeneratorExit -> stop.set()
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1, (
+        f"leaked producer threads: {threading.active_count()} vs {before}"
+    )
+
+
+def test_process_pool_loader_matches_thread_loader(tmp_path):
+    """use_processes=True decodes in a fork pool and yields identical
+    batches (the GIL-releasing path for PIL-bound image decode)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from jepa_tpu.data.image_dataset import make_image_loader
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        d = tmp_path / "imgs" / split / "cls0"
+        d.mkdir(parents=True)
+        for i in range(12):
+            arr = rng.integers(0, 255, size=(40, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"i{i}.png")
+
+    batches = {}
+    for procs in (False, True):
+        _, loader, sampler = make_image_loader(
+            root_path=str(tmp_path), image_folder="imgs", batch_size=4,
+            training=False, output_size=32, num_workers=2,
+            use_processes=procs,
+        )
+        batches[procs] = list(loader)
+    assert len(batches[True]) == len(batches[False]) == 3
+    for a, b in zip(batches[True], batches[False]):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+def test_producer_exception_raises_in_consumer():
+    """A collate/decode crash must surface in the epoch loop, not leave the
+    consumer blocked on an empty queue forever."""
+    import pytest
+
+    from jepa_tpu.data.loader import DataLoader, ShardedSampler
+
+    class BadDs:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode exploded")
+
+    loader = DataLoader(
+        BadDs(), ShardedSampler(num_samples=8), batch_size=4, num_workers=2
+    )
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(iter(loader))

@@ -14,7 +14,11 @@ from jepa_tpu.data.randaugment import (
     op_invert,
     op_posterize,
     op_rotate,
+    op_shear_x,
+    op_shear_y,
     op_solarize,
+    op_translate_x,
+    op_translate_y,
     randaugment_batch,
     randaugment_clip,
 )
@@ -170,3 +174,80 @@ def test_aa_original_batch_jit_range_and_determinism():
         diffs.append((np.abs(d[:, 0]).mean(), np.abs(d[:, 1]).mean()))
     diffs = np.asarray(diffs)
     np.testing.assert_allclose(diffs[:, 0], diffs[:, 1], rtol=0.35, atol=2.0)
+
+
+def _pil_affine(img, coeffs, resample):
+    return np.asarray(
+        Image.fromarray(img).transform(
+            (img.shape[1], img.shape[0]), Image.AFFINE, coeffs,
+            resample=resample, fillcolor=(128, 128, 128),
+        ),
+        dtype=np.float32,
+    )
+
+
+def test_geometric_ops_match_pil_bilinear():
+    """VERDICT round-2 item 7: quantified PIL parity for the warp ops.
+
+    _affine_sample implements PIL's exact AFFINE convention (center-of-
+    pixel mapping + the bilinear filter's half-pixel shift), so shear/
+    translate/rotate must agree with PIL BILINEAR up to uint8 rounding:
+    PIL rounds each output to uint8 while the device op stays float, so
+    per-pixel deltas up to ~1 plus a <=1px fill-boundary band are the
+    expected envelope."""
+    img = _img(7, h=40, w=56)
+    clip = _as_clip(img)
+
+    cases = []
+    for m in (3.0, 6.0, 9.0):
+        for sign in (1.0, -1.0):
+            s = sign * m / 10.0 * 0.3
+            tx = sign * m / 10.0 * 0.45 * img.shape[1]
+            ty = sign * m / 10.0 * 0.45 * img.shape[0]
+            cases += [
+                (f"shear_x m{m} s{sign}", op_shear_x(clip, m, sign),
+                 _pil_affine(img, (1, s, 0, 0, 1, 0), Image.BILINEAR)),
+                (f"shear_y m{m} s{sign}", op_shear_y(clip, m, sign),
+                 _pil_affine(img, (1, 0, 0, s, 1, 0), Image.BILINEAR)),
+                (f"translate_x m{m} s{sign}", op_translate_x(clip, m, sign),
+                 _pil_affine(img, (1, 0, tx, 0, 1, 0), Image.BILINEAR)),
+                (f"translate_y m{m} s{sign}", op_translate_y(clip, m, sign),
+                 _pil_affine(img, (1, 0, 0, 0, 1, ty), Image.BILINEAR)),
+                (f"rotate m{m} s{sign}",
+                 op_rotate(clip, m, sign),
+                 np.asarray(Image.fromarray(img).rotate(
+                     sign * m / 10.0 * 30.0, resample=Image.BILINEAR,
+                     fillcolor=(128, 128, 128)), dtype=np.float32)),
+            ]
+    for name, got, want in cases:
+        got = np.asarray(got)[0]
+        delta = np.abs(got - want)
+        # Measured envelope (this test's cases, 40x56 random-noise image —
+        # the worst case for interpolation deltas): PIL truncates each
+        # bilinear output to uint8 (|d| <= 1 in the interior; median well
+        # under 1) and quantizes coordinates in fixed point along the
+        # fill seam (a <=1px band, <=2.5% of pixels, where |d| can reach
+        # the fill-vs-content range). Bounds set at that envelope + slack.
+        assert float(np.median(delta)) <= 1.0, (name, float(np.median(delta)))
+        assert float(np.mean(delta)) < 2.2, (name, float(np.mean(delta)))
+        frac_off = float(np.mean(delta > 1.5))
+        assert frac_off < 0.03, (name, frac_off, float(delta.max()))
+
+
+def test_geometric_bicubic_delta_is_bounded():
+    """The reference samples BILINEAR or BICUBIC per-op at random
+    (_RANDOM_INTERPOLATION, reference randaugment.py:34,48); the device op
+    is always bilinear. Record the bicubic-vs-bilinear envelope so the
+    approximation is quantified, not hand-waved: bicubic sharpens by a few
+    intensity levels on natural images."""
+    img = _img(11, h=40, w=56)
+    clip = _as_clip(img)
+    got = np.asarray(op_rotate(clip, 9.0, 1.0))[0]
+    want = np.asarray(Image.fromarray(img).rotate(
+        27.0, resample=Image.BICUBIC, fillcolor=(128, 128, 128)), np.float32)
+    delta = np.abs(got - want)
+    # random uint8 noise imgs are the worst case for bicubic overshoot
+    # (measured mean ~14.8 on this fixture; natural images sit far lower);
+    # the fill/content geometry must still agree
+    assert float(np.mean(delta)) < 18.0, float(np.mean(delta))
+    assert float(np.mean(delta > 64)) < 0.02
