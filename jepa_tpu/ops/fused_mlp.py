@@ -53,6 +53,27 @@ def _gelu(z):
     return 0.5 * z * (1.0 + _erf(z * _INV_SQRT2))
 
 
+# bf16-output gelu via erfc: erfc(x) ~= exp2(-g(|x|)) with g a degree-6
+# poly (dual-constraint lsq: abs erf err 7.4e-7 AND rel erfc err 2.5e-4 on
+# [0, 3.9], clamped beyond). The erfc FORM matters: gelu's negative tail is
+# 0.5*z*erfc(|z|/sqrt2), and computing it as exp2(-g) directly keeps the
+# tail relatively accurate where 1+erf(z) would cancel catastrophically.
+# Division-free and exp2-native: ~half the VPU ops of the A&S 7.1.26 form
+# (which needs a reciprocal AND an exp). Only for bf16 kernel outputs;
+# fp32 outputs keep the 1.5e-7-exact _erf. Differences vs exact are 1-ulp
+# bf16 rounding-boundary flips (fp32 op-reordering noise level).
+_ERF_G = (1.6279511504838011, 0.9179117972647749, 0.15048427545502158,
+          -0.03191463214715457, 0.004236621237891429, -0.00025575246004894803)
+
+
+def _gelu_fast(z):
+    ax = jnp.minimum(jnp.abs(z) * _INV_SQRT2, 3.9)
+    c1, c2, c3, c4, c5, c6 = _ERF_G
+    g = ax * (c1 + ax * (c2 + ax * (c3 + ax * (c4 + ax * (c5 + ax * c6)))))
+    e = jnp.exp2(-g)  # erfc(|z|/sqrt2)
+    return 0.5 * z * jnp.where(z >= 0, 2.0 - e, e)
+
+
 def _dgelu(z):
     """gelu'(z) = Phi(z) + z * phi(z), fp32."""
     phi = jnp.exp(-0.5 * z * z) * _INV_SQRT2PI
@@ -79,7 +100,8 @@ def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, tiles, tf):
         # round-trip z through the compute dtype so numerics are identical
         # to the unfused path (linear casts to bf16 before the gelu)
         z = z.astype(o_ref.dtype).astype(jnp.float32)
-        o_ref[:, sl] = _gelu(z).astype(o_ref.dtype)
+        act = _gelu_fast if o_ref.dtype == jnp.bfloat16 else _gelu
+        o_ref[:, sl] = act(z).astype(o_ref.dtype)
 
 
 def _fwd_kernel_z(x_ref, w_ref, b_ref, o_ref, z_ref, *, tiles, tf):
@@ -98,6 +120,13 @@ def _fwd_kernel_z(x_ref, w_ref, b_ref, o_ref, z_ref, *, tiles, tf):
         o_ref[:, sl] = _gelu(zc.astype(jnp.float32)).astype(o_ref.dtype)
 
 
+# full-w mode: with w resident in VMEM the weight streams from HBM ONCE
+# per call instead of once per m-block (the blocked grid re-fetched the
+# 2MB encoder w block 74x = 592MB/call ~ 0.7 ms of pure DMA, measured the
+# whole gap between the fused kernel and the bare-matmul floor)
+_FULL_W_BYTES = 9 * 2**20
+
+
 def _pick_blocks(m: int, k: int, f: int):
     """(bm, bf) output blocking; bf covers _TILES sub-tiles. VMEM: x block
     [bm, k] + w block [k, bf] + out [bm, bf] + fp32 z tile [bm, bf/_TILES]."""
@@ -111,21 +140,55 @@ def _pick_blocks(m: int, k: int, f: int):
     return bm, bf
 
 
+def _pick_bm_fullw(m: int, k: int, f: int, itemsize: int, n_out: int):
+    """Largest bm whose x + n_out output tiles + fp32 z tile fit beside
+    the resident w (Mosaic scoped-vmem limit is 16MB)."""
+    m128 = ((m + 127) // 128) * 128
+    budget = 14 * 2**20 - k * f * itemsize
+    bm = 512
+    while bm > 128 and (
+        m128 % bm or bm * (k + n_out * f) * itemsize + bm * 512 * 4 > budget
+    ):
+        bm //= 2
+    return bm
+
+
 def _call(kernel, x, w, b, with_z, interpret):
     m, k = x.shape
     k2, f = w.shape
     assert k == k2
+    b2 = b.reshape(1, f)
+    oshape = jax.ShapeDtypeStruct((m, f), x.dtype)
+    # full-w is fwd-only: the two-output (o, z) variant crashes Mosaic in
+    # this configuration (HTTP-500, v5e), and differentiated call sites are
+    # not the production path (BlockCfg.fused_mlp is grad-free only)
+    if not with_z and k * f * x.dtype.itemsize <= _FULL_W_BYTES:
+        bm = _pick_bm_fullw(m, k, f, x.dtype.itemsize, 2 if with_z else 1)
+        tiles = max(_TILES, f // 512)  # bound the fp32 z tile to [bm, 512]
+        grid = (pl.cdiv(m, bm),)
+        in_specs = [
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        ospec = pl.BlockSpec((bm, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(kernel, tiles=tiles, tf=f // tiles),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[ospec, ospec] if with_z else ospec,
+            out_shape=[oshape, oshape] if with_z else oshape,
+            interpret=interpret,
+        )(x, w, b2)
     bm, bf = _pick_blocks(m, k, f)
     tf = bf // _TILES
     grid = (pl.cdiv(m, bm), f // bf)
-    b2 = b.reshape(1, f)
     in_specs = [
         pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((k, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     ospec = pl.BlockSpec((bm, bf), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((m, f), x.dtype)
     return pl.pallas_call(
         functools.partial(kernel, tiles=_TILES, tf=tf),
         grid=grid,

@@ -28,10 +28,13 @@ def build_step():
     from jepa_tpu.train.step import TrainCfg, build_train_step, init_train_state
     from jepa_tpu.utils.schedulers import build_schedules
 
+    enc_unroll = int(os.environ.get("ENC_UNROLL", "1"))
+    pred_unroll = int(os.environ.get("PRED_UNROLL", "1"))
     enc_cfg = vit_cfg("vit_large", img_size=224, num_frames=16, tubelet_size=2,
-                      uniform_power=True, remat="attn")
+                      uniform_power=True, remat="attn", scan_unroll=enc_unroll)
     pred_cfg = predictor_cfg_for(enc_cfg, predictor_embed_dim=384, depth=12,
-                                 num_mask_tokens=2, remat="attn")
+                                 num_mask_tokens=2, remat="attn",
+                                 scan_unroll=pred_unroll)
     grid = MaskGrid.from_data_cfg(224, enc_cfg.patch_size, 16, 2)
     specs = [
         MaskSpec(num_blocks=8, spatial_scale=(0.15, 0.15), aspect_ratio=(0.75, 1.5)),

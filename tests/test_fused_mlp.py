@@ -90,3 +90,43 @@ def test_mlp_uses_fused_kernel_consistently():
     for pa, pb in zip(jax.tree.leaves(grads["flash"]), jax.tree.leaves(grads["xla"])):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_bf16_fast_gelu_is_bf16_exact():
+    """The bf16 kernel path uses the exp2-form erf (2.2e-5 abs err): outputs
+    must round to the SAME bf16 values as the exact-erf computation almost
+    everywhere (and never differ by more than one ulp)."""
+    import math
+
+    from jepa_tpu.ops.fused_mlp import _gelu, _gelu_fast
+
+    z = jnp.linspace(-8.0, 8.0, 20001, dtype=jnp.float32)
+    gelu_exact = np.array(
+        [0.5 * v * (1 + math.erf(v / math.sqrt(2))) for v in np.asarray(z)],
+        np.float32,
+    )
+    got = np.asarray(_gelu_fast(z))
+    # head: absolute accuracy far below bf16 quantum; tail (erfc form):
+    # relative accuracy holds where 1+erf would cancel
+    np.testing.assert_allclose(got, gelu_exact, atol=2e-6, rtol=3e-4)
+    # bf16 rounding-boundary flips are intrinsic fp32 path noise: even a
+    # 1.7e-7-accurate alternative erf flips ~23% of a dense grid by one
+    # ulp. Assert every difference vs TRUE gelu is 1-ulp boundary noise
+    # plus the tail's relative envelope. (The A&S _gelu is NOT the oracle
+    # out in the tail: its 1.5e-7 erf error is a multi-percent relative
+    # error on 1+erf there, where the erfc form stays accurate.)
+    a = np.asarray(_gelu_fast(z).astype(jnp.bfloat16).astype(jnp.float32))
+    b = np.asarray(jnp.asarray(gelu_exact).astype(jnp.bfloat16).astype(jnp.float32))
+    ulp = np.maximum(np.abs(b) * 2**-8, 2**-14)
+    np.testing.assert_array_less(np.abs(a - b), 1.5 * ulp + np.abs(b) * 1e-3 + 1e-7)
+
+
+def test_linear_gelu_bf16_matches_fp32_reference():
+    """bf16 kernel output (fast-erf path) vs fp32 reference computation."""
+    xf, wf, bf = _data(256, 128, 256, seed=9)
+    want = np.asarray(_ref(xf, wf, bf))
+    got = linear_gelu(
+        xf.astype(jnp.bfloat16), wf.astype(jnp.bfloat16), bf, interpret=True
+    ).astype(jnp.float32)
+    # bf16 operands + bf16 output: tolerance is bf16 matmul noise
+    np.testing.assert_allclose(np.asarray(got), want, atol=0.06, rtol=0.06)
