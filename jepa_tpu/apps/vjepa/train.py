@@ -26,6 +26,7 @@ from jepa_tpu.configs import dump_config
 from jepa_tpu.data.loader import make_video_loader
 from jepa_tpu.data.transforms import AugmentCfg, pretrain_augment
 from jepa_tpu.masks.multiblock3d import MaskGrid, MaskSpec, resolve_keep_counts
+from jepa_tpu.masks.multiblock3d import select_pad_tier
 from jepa_tpu.masks.padding import pad_masks, static_cap
 from jepa_tpu.masks.multiblock3d import MaskCollator as MB3DCollator
 from jepa_tpu.masks.random_tube import TubeMaskCollator, TubeSpec, keep_counts as tube_keep_counts
@@ -173,7 +174,7 @@ def main(args: dict, resume_preempt: bool = False):
     grid = MaskGrid.from_data_cfg(crop_size, patch_size, num_frames, tubelet_size)
     mask_type = cfgs_data.get("mask_type", "multiblock3d")
     if mask_type == "multiblock3d":
-        from jepa_tpu.masks.multiblock3d import calibrate_keep_counts, calibrate_pad_caps
+        from jepa_tpu.masks.multiblock3d import calibrate_keep_counts, calibrate_pad_tiers
 
         specs = [MaskSpec.from_cfg(m) for m in cfgs_mask]
         # calibrate fixed-mode K at the REFERENCE's per-rank collator batch
@@ -182,21 +183,25 @@ def main(args: dict, resume_preempt: bool = False):
         # effective-K distribution must not depend on our local device count
         kc = [calibrate_keep_counts(s, grid, batch_size) for s in specs]
         host_collator = MB3DCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
-        # padded-mode static caps sized to the distribution's tail (rare
-        # heavier masks truncate like the reference's max_keep slice)
-        pad_caps = [calibrate_pad_caps(s, grid, batch_size) for s in specs]
+        # padded-mode bucketed cap tiers (2-3 compiled shapes; each step pads
+        # to the smallest tier covering the collator's actual K, rare heavier
+        # masks truncate like the reference's max_keep slice). Calibrated at
+        # the runtime collation batch so the envelopes match actual draws.
+        pad_tiers = calibrate_pad_tiers(specs, grid, batch_size * devices_per_host)
     else:
         specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]
         kc = [tube_keep_counts(s, grid) for s in specs]
         host_collator = TubeMaskCollator(specs, grid, seed=seed) if mask_mode == "padded" else None
         if mask_mode == "fixed":
             mask_mode = "tube"
-        # tube masks are exact-K by construction: caps are K rounded up
-        pad_caps = [
+        # tube masks are exact-K by construction: one tier, caps rounded up
+        pad_tiers = [[
             (static_cap(grid.n, ke / grid.n), static_cap(grid.n, kp / grid.n))
             for ke, kp in kc
-        ]
+        ]]
     logger.info("mask grid %s keep counts %s mode %s", (grid.t, grid.h, grid.w), kc, mask_mode)
+    if mask_mode == "padded":
+        logger.info("padded-mode cap tiers: %s", pad_tiers)
 
     # ---- data -----------------------------------------------------------
     if dataset_type == "synthetic":
@@ -327,9 +332,10 @@ def main(args: dict, resume_preempt: bool = False):
         batch = {"clips": clips}
         if mask_mode == "padded":
             me_list, mp_list = host_collator(batch_size * devices_per_host)
+            tier = pad_tiers[select_pad_tier(pad_tiers, me_list, mp_list)]
             batch["masks_enc"], batch["enc_weights"] = [], []
             batch["masks_pred"], batch["pred_weights"] = [], []
-            for (me, mp), (ce, cp) in zip(zip(me_list, mp_list), pad_caps):
+            for (me, mp), (ce, cp) in zip(zip(me_list, mp_list), tier):
                 m, w = pad_masks(me, ce)
                 batch["masks_enc"].append(put_global(m))
                 batch["enc_weights"].append(put_global(w))

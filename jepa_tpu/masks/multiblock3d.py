@@ -167,6 +167,64 @@ def calibrate_pad_caps(
     return cap(enc_max), cap(pred_max)
 
 
+def calibrate_pad_tiers(
+    specs: Sequence[MaskSpec], grid: MaskGrid, batch_size: int,
+    iters: int = 200, fractions: Sequence[float] = (0.6, 0.9),
+    seed: int = 4321, headroom: float = 1.05, multiple: int = 128,
+):
+    """Bucketed static-cap tiers for padded-parity mode.
+
+    A single worst-case cap (calibrate_pad_caps) over-allocates the typical
+    step by ~1.7x/1.2x — most of padded mode's throughput gap vs fixed mode.
+    This draws ``iters`` joint collator iterations, sorts them by total mask
+    tokens, and takes element-wise cap ENVELOPES over the cheapest
+    ``fraction`` of iterations: tier t covers every iteration inside its
+    fraction by construction, so select_pad_tier resolves to tier 0 on
+    >= fractions[0] of steps and each step pays close to its actual shape
+    instead of the tail's. The last tier reproduces calibrate_pad_caps'
+    max*headroom worst case; rarer-still masks truncate in pad_masks (the
+    reference's max_keep ascending-slice semantics, multiblock3d.py:194-201).
+
+    Returns tiers: list (ascending cost) of per-spec (enc_cap, pred_cap)
+    lists. Adjacent duplicate tiers (after lane rounding) are merged.
+    """
+    gens = [HostMaskGenerator(sp, grid, seed=seed) for sp in specs]
+    rec = np.empty((iters, len(specs), 2), np.int64)
+    for i in range(iters):
+        for s, gen in enumerate(gens):
+            e, p = gen(batch_size)
+            rec[i, s] = (e.shape[1], p.shape[1])
+    rec = rec[np.argsort(rec.sum(axis=(1, 2)), kind="stable")]
+
+    def cap(k, hr):
+        c = int(np.ceil(k * hr / multiple) * multiple)
+        return min(max(c, multiple), grid.n)
+
+    tiers = []
+    cuts = [max(1, int(round(f * iters))) for f in fractions] + [iters]
+    for cut in sorted(set(cuts)):
+        env = rec[:cut].max(axis=0)  # [S, 2]
+        hr = headroom if cut == iters else 1.0
+        tier = [(cap(env[s, 0], hr), cap(env[s, 1], hr)) for s in range(len(specs))]
+        if not tiers or tier != tiers[-1]:
+            tiers.append(tier)
+    return tiers
+
+
+def select_pad_tier(tiers, me_list, mp_list) -> int:
+    """Smallest tier whose caps cover every spec's actual K this iteration,
+    else the last (where heavier-than-cap masks truncate in pad_masks).
+    Deterministic in the collator output, so multi-host processes running
+    the same counter-seeded collator always agree on the compiled shape."""
+    for t, tier in enumerate(tiers[:-1]):
+        if all(
+            me.shape[1] <= ce and mp.shape[1] <= cp
+            for me, mp, (ce, cp) in zip(me_list, mp_list, tier)
+        ):
+            return t
+    return len(tiers) - 1
+
+
 def _sample_block_size(rng, spec: MaskSpec, grid: MaskGrid):
     """Per-step block geometry (t, h, w) in tokens; traced, shared across batch.
 

@@ -168,3 +168,52 @@ def test_fixed_k_calibrated_at_reference_per_rank_batch():
         # min over 192 samples gives a smaller context
         k192 = calibrate_keep_counts(spec, grid, 192)
         assert k192[0] < k24[0], (spec, k24, k192)
+
+
+def test_pad_tiers_bucketing():
+    """Bucketed cap tiers (VERDICT r2 item 6): ascending envelopes, the last
+    tier matching the worst-case calibration, and tier-0 actually selected
+    on a healthy fraction of fresh collator iterations (the whole point —
+    most steps must run at the cheap compiled shape)."""
+    from jepa_tpu.masks.multiblock3d import (
+        calibrate_pad_caps,
+        calibrate_pad_tiers,
+        select_pad_tier,
+    )
+
+    specs = [SHORT, LONG]
+    tiers = calibrate_pad_tiers(specs, GRID, 24, iters=120, seed=7)
+    assert 1 <= len(tiers) <= 3
+    # ascending element-wise
+    for a, b in zip(tiers, tiers[1:]):
+        assert all(ca <= cb and pa <= pb for (ca, pa), (cb, pb) in zip(a, b))
+        assert a != b
+    # all caps are lane multiples within the grid
+    for tier in tiers:
+        for ce, cp in tier:
+            assert ce % 128 == 0 or ce == GRID.n
+            assert cp % 128 == 0 or cp == GRID.n
+    # last tier == the single worst-case calibration at the same draws
+    worst = [calibrate_pad_caps(s, GRID, 24, iters=120, seed=7) for s in specs]
+    assert tiers[-1] == worst
+
+    # fresh (differently-seeded) collator: tier 0 must win most iterations
+    coll = MaskCollator(specs, GRID, seed=99)
+    hits = np.zeros(len(tiers), np.int64)
+    for _ in range(60):
+        me, mp = coll(24)
+        hits[select_pad_tier(tiers, me, mp)] += 1
+    assert hits[0] >= 30, hits
+
+
+def test_select_pad_tier_truncation_fallback():
+    """Masks heavier than every tier fall to the LAST tier (pad_masks then
+    truncates, the reference's max_keep ascending-slice semantics)."""
+    from jepa_tpu.masks.multiblock3d import select_pad_tier
+
+    tiers = [[(128, 256)], [(256, 512)]]
+    big = [np.zeros((2, 400), np.int32)]
+    small = [np.zeros((2, 100), np.int32)]
+    assert select_pad_tier(tiers, small, [np.zeros((2, 200), np.int32)]) == 0
+    assert select_pad_tier(tiers, big, [np.zeros((2, 600), np.int32)]) == 1
+    assert select_pad_tier(tiers, small, [np.zeros((2, 300), np.int32)]) == 1
