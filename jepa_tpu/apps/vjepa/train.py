@@ -186,8 +186,11 @@ def main(args: dict, resume_preempt: bool = False):
         # padded-mode bucketed cap tiers (2-3 compiled shapes; each step pads
         # to the smallest tier covering the collator's actual K, rare heavier
         # masks truncate like the reference's max_keep slice). Calibrated at
-        # the runtime collation batch so the envelopes match actual draws.
-        pad_tiers = calibrate_pad_tiers(specs, grid, batch_size * devices_per_host)
+        # the runtime chunking: per-device collates of the YAML batch_size,
+        # requirement = max over all global devices' chunks.
+        pad_tiers = calibrate_pad_tiers(
+            specs, grid, batch_size, n_chunks=world_size * devices_per_host
+        )
     else:
         specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]
         kc = [tube_keep_counts(s, grid) for s in specs]
@@ -331,17 +334,26 @@ def main(args: dict, resume_preempt: bool = False):
         clips = clips.astype(compute_dtype)
         batch = {"clips": clips}
         if mask_mode == "padded":
-            me_list, mp_list = host_collator(batch_size * devices_per_host)
+            # one collate chunk per GLOBAL device (the reference's per-GPU
+            # collate_fn granularity): samples get i.i.d. masks with a
+            # per-chunk batch-min, identical for any process topology.
+            # Every process generates ALL chunks (cheap numpy) so the tier
+            # choice — hence the compiled shape — agrees across hosts, then
+            # uploads only its own devices' rows (put_global alignment
+            # matches the loader's rank-sliced clips).
+            n_chunks = world_size * devices_per_host
+            me_list, mp_list = host_collator.collate_chunks(batch_size, n_chunks)
             tier = pad_tiers[select_pad_tier(pad_tiers, me_list, mp_list)]
+            lo, hi = rank * devices_per_host, (rank + 1) * devices_per_host
             batch["masks_enc"], batch["enc_weights"] = [], []
             batch["masks_pred"], batch["pred_weights"] = [], []
-            for (me, mp), (ce, cp) in zip(zip(me_list, mp_list), tier):
-                m, w = pad_masks(me, ce)
-                batch["masks_enc"].append(put_global(m))
-                batch["enc_weights"].append(put_global(w))
-                m, w = pad_masks(mp, cp)
-                batch["masks_pred"].append(put_global(m))
-                batch["pred_weights"].append(put_global(w))
+            for (mes, mps), (ce, cp) in zip(zip(me_list, mp_list), tier):
+                pads = [pad_masks(m, ce) for m in mes[lo:hi]]
+                batch["masks_enc"].append(put_global(np.concatenate([p[0] for p in pads])))
+                batch["enc_weights"].append(put_global(np.concatenate([p[1] for p in pads])))
+                pads = [pad_masks(m, cp) for m in mps[lo:hi]]
+                batch["masks_pred"].append(put_global(np.concatenate([p[0] for p in pads])))
+                batch["pred_weights"].append(put_global(np.concatenate([p[1] for p in pads])))
         return batch
 
     # ---- loop ------------------------------------------------------------

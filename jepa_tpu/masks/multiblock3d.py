@@ -171,6 +171,7 @@ def calibrate_pad_tiers(
     specs: Sequence[MaskSpec], grid: MaskGrid, batch_size: int,
     iters: int = 200, fractions: Sequence[float] = (0.6, 0.9),
     seed: int = 4321, headroom: float = 1.05, multiple: int = 128,
+    n_chunks: int = 1,
 ):
     """Bucketed static-cap tiers for padded-parity mode.
 
@@ -187,13 +188,24 @@ def calibrate_pad_tiers(
 
     Returns tiers: list (ascending cost) of per-spec (enc_cap, pred_cap)
     lists. Adjacent duplicate tiers (after lane rounding) are merged.
+
+    With ``n_chunks`` > 1 (per-device chunked collation, one chunk per
+    global device) the per-iteration requirement is the MAX over chunks —
+    the shape every chunk pads to at runtime.
     """
     gens = [HostMaskGenerator(sp, grid, seed=seed) for sp in specs]
+    if n_chunks > 1:
+        iters = max(40, iters // n_chunks)  # bound host calibration work
     rec = np.empty((iters, len(specs), 2), np.int64)
     for i in range(iters):
         for s, gen in enumerate(gens):
-            e, p = gen(batch_size)
-            rec[i, s] = (e.shape[1], p.shape[1])
+            it = gen.step()
+            ke = kp = 0
+            for c in range(n_chunks):
+                e, p = gen(batch_size, chunk=c, _it=it)
+                ke = max(ke, e.shape[1])
+                kp = max(kp, p.shape[1])
+            rec[i, s] = (ke, kp)
     rec = rec[np.argsort(rec.sum(axis=(1, 2)), kind="stable")]
 
     def cap(k, hr):
@@ -214,11 +226,17 @@ def calibrate_pad_tiers(
 def select_pad_tier(tiers, me_list, mp_list) -> int:
     """Smallest tier whose caps cover every spec's actual K this iteration,
     else the last (where heavier-than-cap masks truncate in pad_masks).
-    Deterministic in the collator output, so multi-host processes running
-    the same counter-seeded collator always agree on the compiled shape."""
+    Per-spec entries may be [B, K] arrays or LISTS of per-device chunks
+    (collate_chunks); a chunk list needs its max K covered. Deterministic in
+    the counter-seeded collator output, so multi-host processes always
+    agree on the compiled shape."""
+
+    def _k(x):
+        return max(a.shape[1] for a in x) if isinstance(x, (list, tuple)) else x.shape[1]
+
     for t, tier in enumerate(tiers[:-1]):
         if all(
-            me.shape[1] <= ce and mp.shape[1] <= cp
+            _k(me) <= ce and _k(mp) <= cp
             for me, mp, (ce, cp) in zip(me_list, mp_list, tier)
         ):
             return t
@@ -369,12 +387,20 @@ class HostMaskGenerator:
         w = min(int(round(math.sqrt(num_keep / ar))), g.w)
         return t, max(1, h), max(1, w)
 
-    def __call__(self, batch_size: int):
+    def __call__(self, batch_size: int, chunk: int = 0, _it: Optional[int] = None):
+        """One per-GPU-batch collate. ``chunk`` identifies the global device
+        whose batch this is: the block SIZE is shared across chunks (the
+        reference's counter-seeded shared rng, multiblock3d.py:96-104) while
+        per-sample placements draw from a chunk-keyed stream (the reference's
+        per-rank worker rng) — so samples get i.i.d. masks across devices
+        instead of rank-duplicated ones, identically for any process
+        topology. chunk=0 preserves the historical single-stream key."""
         g, s = self.grid, self.spec
-        it = self.step()
+        it = self.step() if _it is None else _it
         rng_shared = np.random.default_rng((self.seed, it))
         bt, bh, bw = self._block_size(rng_shared)
-        rng = np.random.default_rng((self.seed, it, 1))
+        key = (self.seed, it, 1) if chunk == 0 else (self.seed, it, 1, chunk)
+        rng = np.random.default_rng(key)
 
         ctx_dur = max(1, int(g.t * s.max_temporal_keep))
         encs, preds = [], []
@@ -432,4 +458,23 @@ class MaskCollator:
             e, p = gen(batch_size)
             out_e.append(e)
             out_p.append(p)
+        return out_e, out_p
+
+    def collate_chunks(self, batch_size: int, n_chunks: int):
+        """``n_chunks`` independent per-device collates of ``batch_size``
+        samples each (the reference's per-GPU collate_fn granularity), one
+        shared counter step. Returns per-spec LISTS of [batch_size, K_c]
+        chunks — every chunk has its own batch-min K, exactly like the
+        reference's per-rank batches. Deterministic in (seed, step, chunk),
+        so any process topology sees the same global mask batch."""
+        out_e, out_p = [], []
+        for gen in self.generators:
+            it = gen.step()
+            es, ps = [], []
+            for c in range(n_chunks):
+                e, p = gen(batch_size, chunk=c, _it=it)
+                es.append(e)
+                ps.append(p)
+            out_e.append(es)
+            out_p.append(ps)
         return out_e, out_p

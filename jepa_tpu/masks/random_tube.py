@@ -66,13 +66,16 @@ class TubeMaskCollator:
     def set_step(self, step: int):
         self._counter = step - 1
 
-    def __call__(self, batch_size: int):
-        self.step()
+    def _chunk(self, batch_size: int, chunk: int):
         out_e, out_p = [], []
         g = self.grid
         n_spatial = g.h * g.w
         for i, spec in enumerate(self.specs):
-            rng = np.random.default_rng((self.seed, self._counter, i))
+            # chunk-keyed stream (chunk 0 keeps the historical key): tube
+            # masks are i.i.d. per device instead of rank-duplicated
+            key = ((self.seed, self._counter, i) if chunk == 0
+                   else (self.seed, self._counter, i, chunk))
+            rng = np.random.default_rng(key)
             keep_spatial = int(n_spatial * (1.0 - spec.ratio))
             encs, preds = [], []
             for _ in range(batch_size):
@@ -84,4 +87,17 @@ class TubeMaskCollator:
                 preds.append((drop[None] + t_off).reshape(-1))
             out_e.append(np.stack(encs).astype(np.int32))
             out_p.append(np.stack(preds).astype(np.int32))
+        return out_e, out_p
+
+    def __call__(self, batch_size: int):
+        self.step()
+        return self._chunk(batch_size, 0)
+
+    def collate_chunks(self, batch_size: int, n_chunks: int):
+        """Per-device chunked collation (see MaskCollator.collate_chunks);
+        tube masks are exact-K so every chunk shares one shape."""
+        self.step()
+        chunks = [self._chunk(batch_size, c) for c in range(n_chunks)]
+        out_e = [[ch[0][s] for ch in chunks] for s in range(len(self.specs))]
+        out_p = [[ch[1][s] for ch in chunks] for s in range(len(self.specs))]
         return out_e, out_p

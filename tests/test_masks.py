@@ -217,3 +217,54 @@ def test_select_pad_tier_truncation_fallback():
     assert select_pad_tier(tiers, small, [np.zeros((2, 200), np.int32)]) == 0
     assert select_pad_tier(tiers, big, [np.zeros((2, 600), np.int32)]) == 1
     assert select_pad_tier(tiers, small, [np.zeros((2, 300), np.int32)]) == 1
+
+
+def test_collate_chunks_iid_and_topology_invariant():
+    """Per-device chunked collation: chunk 0 reproduces the single-stream
+    collate (historical key), chunks draw i.i.d. placements (no rank
+    duplication), and the global mask batch is identical regardless of how
+    chunks are grouped into processes (it only depends on (seed, step,
+    chunk)) — the property the padded 2-process equality test rides on."""
+    specs = [SHORT, LONG]
+    a = MaskCollator(specs, GRID, seed=5)
+    b = MaskCollator(specs, GRID, seed=5)
+
+    me1, mp1 = a(4)  # single-stream collate, counter step 0
+    me2, mp2 = b.collate_chunks(4, 3)  # chunked collate, counter step 0
+    for s in range(len(specs)):
+        # chunk 0 == the historical single stream
+        np.testing.assert_array_equal(me1[s], me2[s][0])
+        np.testing.assert_array_equal(mp1[s], mp2[s][0])
+        # chunks are distinct draws
+        k01 = min(me2[s][0].shape[1], me2[s][1].shape[1])
+        assert not np.array_equal(me2[s][0][:, :k01], me2[s][1][:, :k01])
+
+    # same step, same chunk index -> same masks (topology invariance)
+    c = MaskCollator(specs, GRID, seed=5)
+    c.set_step(1)  # skip to counter 1
+    be, bp = b.collate_chunks(4, 3)  # counter 1
+    ce_, cp_ = c.collate_chunks(4, 3)
+    for s in range(len(specs)):
+        for ch in range(3):
+            np.testing.assert_array_equal(be[s][ch], ce_[s][ch])
+            np.testing.assert_array_equal(bp[s][ch], cp_[s][ch])
+
+    # tube collator: same protocol
+    from jepa_tpu.masks.random_tube import TubeMaskCollator, TubeSpec
+
+    t1 = TubeMaskCollator([TubeSpec(ratio=0.75)], GRID, seed=3)
+    t2 = TubeMaskCollator([TubeSpec(ratio=0.75)], GRID, seed=3)
+    e1, p1 = t1(2)
+    e2, p2 = t2.collate_chunks(2, 2)
+    np.testing.assert_array_equal(e1[0], e2[0][0])
+    assert not np.array_equal(e2[0][0], e2[0][1])
+    assert e2[0][0].shape == e2[0][1].shape  # exact-K: one shape
+
+    # select_pad_tier accepts chunk lists: needs the max K covered
+    from jepa_tpu.masks.multiblock3d import select_pad_tier
+
+    tiers = [[(128, 128)], [(256, 256)]]
+    chunks_small = [[np.zeros((1, 100), np.int32), np.zeros((1, 120), np.int32)]]
+    chunks_big = [[np.zeros((1, 100), np.int32), np.zeros((1, 200), np.int32)]]
+    assert select_pad_tier(tiers, chunks_small, chunks_small) == 0
+    assert select_pad_tier(tiers, chunks_big, chunks_small) == 1

@@ -98,10 +98,10 @@ print("TRAIN_OK", flush=True)
 """
 
 
-def _mh_cfg(folder):
+def _mh_cfg(folder, mask_mode="fixed"):
     return {
         "app": "vjepa",
-        "meta": {"seed": 3, "dtype": "float32", "mask_mode": "fixed",
+        "meta": {"seed": 3, "dtype": "float32", "mask_mode": mask_mode,
                  "remat": False, "load_checkpoint": False},
         "model": {"model_name": "vit_tiny", "pred_depth": 1,
                   "pred_embed_dim": 48, "uniform_power": True,
@@ -139,10 +139,14 @@ def _read_losses(csv_path):
 
 
 @pytest.mark.timeout(420)
-def test_two_process_train_matches_single_process(tmp_path):
-    """VERDICT round-1 item 3: the REAL train app, run as 2 processes x 1
-    device (global batch assembled via make_array_from_process_local_data),
-    must produce the same per-step losses as 1 process x 2 devices.
+@pytest.mark.parametrize("mask_mode", ["fixed", "padded"])
+def test_two_process_train_matches_single_process(tmp_path, mask_mode):
+    """VERDICT round-1 item 3 (+ round-2 item 9 for padded): the REAL train
+    app, run as 2 processes x 1 device (global batch assembled via
+    make_array_from_process_local_data), must produce the same per-step
+    losses as 1 process x 2 devices. Padded mode additionally exercises the
+    per-device chunked collation (global masks depend only on (seed, step,
+    chunk), so tier choice and mask rows agree across topologies).
 
     Pairing note: per-rank batch_size=1 puts rank r's sample at global
     position r, exactly matching the single-process batch order, so losses
@@ -160,7 +164,7 @@ def test_two_process_train_matches_single_process(tmp_path):
     env_base = {k: v for k, v in os.environ.items() if ".axon_site" not in v}
 
     # --- run A: 2 processes, 1 device each, SLURM-style env rendezvous ---
-    cfg_a = _mh_cfg(str(tmp_path / "runA"))
+    cfg_a = _mh_cfg(str(tmp_path / "runA"), mask_mode)
     cfg_a_path = tmp_path / "cfg_a.yaml"
     cfg_a_path.write_text(yaml.safe_dump(cfg_a))
     procs = []
@@ -181,7 +185,7 @@ def test_two_process_train_matches_single_process(tmp_path):
             f"rank {rank} failed:\n{out[-3000:]}"
 
     # --- run B: 1 process, 2 devices ---
-    cfg_b = _mh_cfg(str(tmp_path / "runB"))
+    cfg_b = _mh_cfg(str(tmp_path / "runB"), mask_mode)
     cfg_b_path = tmp_path / "cfg_b.yaml"
     cfg_b_path.write_text(yaml.safe_dump(cfg_b))
     env = dict(env_base)
