@@ -56,6 +56,14 @@ class BlockCfg:
             )
 
 
+def _fast_gelu_enabled() -> bool:
+    """A/B gate for the exp2-erfc gelu on trainable bf16 MLPs (see mlp());
+    default off until the on-chip win is recorded in BENCH.md."""
+    import os
+
+    return os.environ.get("JEPA_FAST_GELU", "0") == "1"
+
+
 def layer_norm(x, scale, bias, eps):
     """fp32 LayerNorm over the last axis; returns in x's original dtype."""
     xf = x.astype(jnp.float32)
@@ -93,7 +101,17 @@ def mlp(x, p, cfg: BlockCfg):
         h = linear_gelu(x.astype(cd), p["fc1_w"].astype(cd), p["fc1_b"])
     else:
         h = linear(x, {"w": p["fc1_w"], "b": p["fc1_b"]}, cd)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cd)
+        if cd == jnp.bfloat16 and _fast_gelu_enabled():
+            # exp2-erfc gelu (ops/fused_mlp._gelu_fast): bf16-exact values,
+            # derivative within 1.4e-6 of exact, and a division-free VPU
+            # tail — XLA's fc1 fusion runs the activation serially after
+            # the matmul, so a cheaper tail shortens the whole fusion
+            # (A/B'd on chip; lax.erf's lowering is the cost being cut)
+            from jepa_tpu.ops.fused_mlp import _gelu_fast
+
+            h = _gelu_fast(h.astype(jnp.float32)).astype(cd)
+        else:
+            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cd)
     return linear(h, {"w": p["fc2_w"], "b": p["fc2_b"]}, cfg.compute_dtype)
 
 

@@ -266,8 +266,27 @@ def load_pretrained_encoder(
     init_params, init_consts = init_vit(jax.random.PRNGKey(0), cfg)
     if not tolerant:
         params, consts = port_encoder(sd, cfg)
-        # strict: every ported leaf must match the model's init shape — a
-        # geometry-mismatched zoo file raises here rather than serving a
+        # pos-embed is the one leaf where a shape mismatch is NOT a porting
+        # error: loading a 224px zoo checkpoint into another eval resolution
+        # is a supported reference workflow, and the reference's tolerant
+        # loader resolves it by keeping the freshly-initialized table
+        # (eval.py:428-434) — which is EXACT, because the table is a
+        # non-learned deterministic sincos function of the model grid
+        # (reference vision_transformer.py:79-86, requires_grad=False).
+        # We do the same: substitute the model's own sincos table so the
+        # in-jit off-size interpolation (models/vit.py resize_pos_embed)
+        # sees a table at the cfg grid it expects.
+        if tuple(consts["pos_embed"].shape) != tuple(init_consts["pos_embed"].shape):
+            logger.info(
+                "pos_embed ckpt grid %s != model grid %s; regenerating sincos "
+                "at the model grid (non-learned table — exact)",
+                tuple(consts["pos_embed"].shape),
+                tuple(init_consts["pos_embed"].shape),
+            )
+            consts = dict(consts)
+            consts["pos_embed"] = init_consts["pos_embed"]
+        # strict: every other ported leaf must match the model's init shape —
+        # a geometry-mismatched zoo file raises here rather than serving a
         # wrong (or partially random) encoder that only fails downstream
         bad = [
             f"{'/'.join(map(str, kp))}: ckpt{tuple(got.shape)} != model{tuple(want.shape)}"

@@ -42,6 +42,46 @@ def test_export_port_roundtrip(tmp_path):
     )
 
 
+def test_strict_load_across_resolutions_regenerates_pos_embed(tmp_path):
+    """Loading a checkpoint into a different eval resolution is a supported
+    reference workflow; the reference resolves the pos-embed grid mismatch by
+    keeping the freshly-initialized table (eval.py:428-434), which is exact
+    because the table is non-learned deterministic sincos
+    (vision_transformer.py:79-86). Strict mode must do the same — and still
+    raise on a REAL geometry mismatch."""
+    params, consts = init_vit(jax.random.PRNGKey(7), CFG)
+    path = str(tmp_path / "zoo224.pth.tar")
+    save_torch_checkpoint(path, target_encoder=(params, consts), epoch=1, cfg=CFG)
+
+    big_res = ViTCfg(
+        img_size=48, patch_size=8, num_frames=4, tubelet_size=2,
+        embed_dim=64, depth=3, num_heads=4,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    p2, c2 = load_pretrained_encoder(path, big_res, checkpoint_key="target_encoder")
+    # weights port verbatim; pos-embed is the model-grid sincos
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    _, init_consts = init_vit(jax.random.PRNGKey(0), big_res)
+    assert c2["pos_embed"].shape == init_consts["pos_embed"].shape
+    np.testing.assert_allclose(
+        np.asarray(c2["pos_embed"]), np.asarray(init_consts["pos_embed"]), atol=1e-7
+    )
+    # the loaded encoder must run at the new resolution
+    x = jnp.zeros((1, 4, 48, 48, 3), jnp.float32)
+    out = vit_forward(p2, c2, x, big_res)
+    assert out.shape == (1, (4 // 2) * (48 // 8) ** 2, 64)
+
+    # a REAL mismatch (embed dim) still raises strictly
+    wrong = ViTCfg(
+        img_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+        embed_dim=128, depth=3, num_heads=4,
+        compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    with pytest.raises(ValueError, match="strict checkpoint port"):
+        load_pretrained_encoder(path, wrong, checkpoint_key="target_encoder")
+
+
 def test_exported_weights_run_in_torch_oracle():
     from tests.torch_oracle import OracleViT
 
