@@ -776,7 +776,17 @@ def _pick_tm_params(heads: int, hdim: int, n: int, fwd: bool):
     return best
 
 
-def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim):
+def _tm_kv_chunk() -> int:
+    """kv-chunk size for the token-major fwd softmax pipeline (0 = one-shot).
+    Env knob for on-chip A/B (`JEPA_TM_KV_CHUNK=392` etc.); default off
+    until the win is recorded in BENCH.md."""
+    import os
+
+    return int(os.environ.get("JEPA_TM_KV_CHUNK", "0"))
+
+
+def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,
+                   kv_chunk=0):
     if len(rest) == 3:
         mask_ref, o_ref, lse_ref = rest
     else:
@@ -792,24 +802,56 @@ def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim):
     #   * the softmax denominator rides the o matmul as a ones column
     #     appended to v (the MXU output tile is 128 lanes regardless of c,
     #     so the extra column is free) — the [bq, nk] sum pass disappears.
-    ones = jnp.ones((v.shape[0], 1), v.dtype)
+    nk = k.shape[0]
+    ones = jnp.ones((nk, 1), v.dtype)
+    if kv_chunk and kv_chunk < nk:
+        bounds = [(j, min(j + kv_chunk, nk)) for j in range(0, nk, kv_chunk)]
+    else:
+        bounds = [(0, nk)]
     outs, lses = [], []
     for h in range(heads):
         sl = slice(h * hdim, (h + 1) * hdim)
         qh = (q[:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
-        s = jax.lax.dot_general(
-            qh, k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if mask_ref is not None:
-            s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m).astype(v.dtype)
-        v_ext = jnp.concatenate([v[:, sl], ones], axis=1)  # [nk, c+1]
-        o_l = jax.lax.dot_general(
-            p, v_ext, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [bq, c+1]: o unnormalized | l
+
+        def s_chunk(j0, j1, sl=sl, qh=qh):
+            s = jax.lax.dot_general(
+                qh, k[j0:j1, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if mask_ref is not None:
+                s = jnp.where(mask_ref[0, 0:1, j0:j1], s, _NEG_INF)
+            return s
+
+        # Chunked-kv software pipeline (kv_chunk>0): issue the NEXT chunk's
+        # score matmul (MXU) before the VPU softmax of the current chunk, so
+        # the exp2/max passes hide under the matmul. Online rescale keeps the
+        # math exact (same o/lse up to fp assoc); an all-masked chunk is
+        # benign because _NEG_INF is finite — a later real max zeroes its
+        # contribution via alpha = exp2(m_old - m_new) = 0.
+        m = None
+        o_l = None
+        s_cur = s_chunk(*bounds[0])
+        for ci, (j0, j1) in enumerate(bounds):
+            s_next = s_chunk(*bounds[ci + 1]) if ci + 1 < len(bounds) else None
+            v_ext = jnp.concatenate([v[j0:j1, sl], ones[j0:j1]], axis=1)
+            mc = jnp.max(s_cur, axis=-1, keepdims=True)
+            if m is None:
+                m = mc
+                p = jnp.exp2(s_cur - m).astype(v.dtype)
+                o_l = jax.lax.dot_general(
+                    p, v_ext, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bq, c+1]: o unnormalized | l
+            else:
+                m_new = jnp.maximum(m, mc)
+                alpha = jnp.exp2(m - m_new)
+                p = jnp.exp2(s_cur - m_new).astype(v.dtype)
+                o_l = o_l * alpha + jax.lax.dot_general(
+                    p, v_ext, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m = m_new
+            s_cur = s_next
         l_safe = jnp.maximum(o_l[:, hdim:hdim + 1], 1e-30)
         outs.append((o_l[:, :hdim] / l_safe).astype(o_ref.dtype))
         lses.append(m + jnp.log2(l_safe))  # [bq, 1], base-2 units
@@ -842,7 +884,8 @@ def _fwd_tm(qkv, mask, meta):
                          memory_space=pltpu.VMEM))
         args.append(mask)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_tm_kernel, scale=scale, heads=hg, hdim=hdim),
+        functools.partial(_fwd_tm_kernel, scale=scale, heads=hg, hdim=hdim,
+                          kv_chunk=_tm_kv_chunk()),
         grid=grid,
         in_specs=in_specs,
         out_specs=[

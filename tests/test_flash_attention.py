@@ -157,6 +157,46 @@ def test_flash_self_attention_tm_kernel_matches_reference():
             )
 
 
+def test_tm_chunked_kv_matches_one_shot(monkeypatch):
+    """The chunked-kv pipelined fwd (JEPA_TM_KV_CHUNK>0) must match the
+    one-shot kernel — values, lse-consuming grads, masked and unmasked,
+    ragged last chunk, and an all-masked chunk (keys >=64 invalid with
+    chunk 64 leaves whole chunks masked)."""
+    from jepa_tpu.ops.flash_attention import flash_self_attention
+
+    b, n, h, c = 2, 149, 4, 32
+    d = h * c
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(kx, (b, n, d), jnp.float32) * 0.5
+    w = jax.random.normal(kw, (d, 3 * d), jnp.float32) * 0.1
+    bias = jax.random.normal(kb, (3 * d,), jnp.float32) * 0.1
+    mask = jnp.asarray(np.arange(n)[None, :].repeat(b, 0) < 64)
+
+    def run(x, w, bias, kv_mask):
+        o = flash_self_attention(x, w, bias, h, kv_mask=kv_mask, interpret=True)
+        return o, jax.grad(
+            lambda *a: jnp.sum(jnp.sin(flash_self_attention(
+                *a, h, kv_mask=kv_mask, interpret=True))), argnums=(0, 1, 2)
+        )(x, w, bias)
+
+    for kv_mask in (None, mask):
+        monkeypatch.delenv("JEPA_TM_KV_CHUNK", raising=False)
+        o_ref, g_ref = run(x, w, bias, kv_mask)
+        for chunk in (64, 128):  # 149 -> ragged tail; 64 -> all-masked chunks
+            monkeypatch.setenv("JEPA_TM_KV_CHUNK", str(chunk))
+            jax.clear_caches()  # the env knob is read at trace time
+            o_c, g_c = run(x, w, bias, kv_mask)
+            np.testing.assert_allclose(
+                np.asarray(o_c), np.asarray(o_ref), atol=3e-6, rtol=3e-6,
+                err_msg=f"o chunk={chunk} mask={kv_mask is not None}")
+            for a, bb, name in zip(g_c, g_ref, ("dx", "dw", "db")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(bb), atol=3e-5, rtol=3e-5,
+                    err_msg=f"{name} chunk={chunk} mask={kv_mask is not None}")
+    monkeypatch.delenv("JEPA_TM_KV_CHUNK", raising=False)
+    jax.clear_caches()
+
+
 def test_tm_param_picker_production_shapes():
     """The compiler-guardrail picker must route every production shape to a
     configuration inside the validated envelope (<=8 unrolled heads,

@@ -67,10 +67,12 @@ def test_tolerant_loading_substitutes_mismatched_shapes(tmp_path):
     out = vit_forward(p2, c2, x, big)
     assert out.shape == (1, 72, 64)
 
-    # strict mode raises on the same mismatch? (porter reshapes fail or
-    # shapes propagate) -> tolerant=False ports the 32px table verbatim
+    # strict mode resolves the pos-embed grid mismatch the same way the
+    # reference's loader does — regenerate the (non-learned, deterministic)
+    # sincos table at the model grid — while still porting every weight
     p3, c3 = load_pretrained_encoder(path, big, tolerant=False)
-    assert c3["pos_embed"].shape == (32, 64)
+    assert c3["pos_embed"].shape == (2 * 6 * 6, 64)
+    np.testing.assert_allclose(np.asarray(c3["pos_embed"]), np.asarray(c2["pos_embed"]), atol=1e-7)
 
 
 def test_gigantic_matches_reference_effective_mlp_ratio():
