@@ -198,7 +198,14 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False,
         body = jax.checkpoint(body, prevent_cse=False, policy=_save_flash_residuals)
     elif remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    final, layers = jax.lax.scan(body, x, stacked, unroll=unroll)
+    # _split_transpose lowers the scan transpose as a second scan whose ys
+    # are the stacked dW — an A/B lever on the grad-stack DUS copies (the
+    # round-2 xplane showed carry-DUS running at whole-buffer-copy cost).
+    import os
+
+    split_t = os.environ.get("JEPA_SCAN_SPLIT_TRANSPOSE", "0") == "1"
+    final, layers = jax.lax.scan(body, x, stacked, unroll=unroll,
+                                 _split_transpose=split_t)
     return (final, layers) if collect_layers else (final, None)
 
 

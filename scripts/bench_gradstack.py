@@ -32,12 +32,13 @@ def body(x, w):
     return jnp.dot(h, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def make_scan(unroll):
+def make_scan(unroll, split_transpose=False):
     def f(x, ws):  # ws: [depth, d, f] fp32
         def step(c, w):
             return body(c, w.astype(jnp.bfloat16)), None
 
-        out, _ = jax.lax.scan(step, x, ws, unroll=unroll)
+        out, _ = jax.lax.scan(step, x, ws, unroll=unroll,
+                              _split_transpose=split_transpose)
         return jnp.sum(out.astype(jnp.float32))
 
     return f
@@ -75,6 +76,7 @@ def main():
 
     for name, fn, args in [
         ("scan",     make_scan(1), (x, ws)),
+        ("scan_st",  make_scan(1, split_transpose=True), (x, ws)),
         ("scan_u2",  make_scan(2), (x, ws)),
         ("scan_u4",  make_scan(4), (x, ws)),
         ("unrolled", f_unrolled,   (x, ws_list)),

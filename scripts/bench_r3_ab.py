@@ -81,6 +81,7 @@ VARIANTS = [
     ("kv392", {"JEPA_TM_KV_CHUNK": "392"}),
     ("kv784", {"JEPA_TM_KV_CHUNK": "784"}),
     ("unroll2", {"ENC_UNROLL": "2", "PRED_UNROLL": "2"}),
+    ("split_t", {"JEPA_SCAN_SPLIT_TRANSPOSE": "1"}),
 ]
 
 
