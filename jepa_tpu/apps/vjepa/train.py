@@ -187,9 +187,14 @@ def main(args: dict, resume_preempt: bool = False):
         # to the smallest tier covering the collator's actual K, rare heavier
         # masks truncate like the reference's max_keep slice). Calibrated at
         # the runtime chunking: per-device collates of the YAML batch_size,
-        # requirement = max over all global devices' chunks.
-        pad_tiers = calibrate_pad_tiers(
-            specs, grid, batch_size, n_chunks=world_size * devices_per_host
+        # requirement = max over all global devices' chunks. Host-side cost
+        # scales with global device count, so only padded mode pays it.
+        pad_tiers = (
+            calibrate_pad_tiers(
+                specs, grid, batch_size, n_chunks=world_size * devices_per_host
+            )
+            if mask_mode == "padded"
+            else None
         )
     else:
         specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]

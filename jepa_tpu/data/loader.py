@@ -77,17 +77,20 @@ class WeightedShardedSampler(ShardedSampler):
 _PROC_DS = None
 
 
-def _proc_init(ds, seed):
+def _proc_init(ds, seed, counter):
     """Process-pool worker initializer: pin the (forked) dataset and reseed
-    any per-dataset rng so workers do not replay identical random streams
-    (torch DataLoader's worker seeding, video_dataset.py:77-85 analogue)."""
+    any per-dataset rng so workers do not replay identical random streams.
+    Worker w draws from seed + w (a shared counter hands out ordinals) —
+    the reproducible base_seed + worker_id scheme of torch's DataLoader
+    (video_dataset.py:77-85 analogue); PID-based seeds would differ on
+    every run."""
     global _PROC_DS
     _PROC_DS = ds
-    rng = getattr(ds, "_rng", None)
-    if rng is not None:
-        import os as _os
-
-        ds._rng = np.random.default_rng(seed + _os.getpid())
+    with counter.get_lock():
+        wid = counter.value
+        counter.value += 1
+    if getattr(ds, "_rng", None) is not None:
+        ds._rng = np.random.default_rng(seed + wid)
 
 
 def _proc_get(i):
@@ -149,11 +152,12 @@ class DataLoader:
             import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
 
+            ctx = mp.get_context("fork")
             return ProcessPoolExecutor(
                 self.num_workers,
-                mp_context=mp.get_context("fork"),
+                mp_context=ctx,
                 initializer=_proc_init,
-                initargs=(self.dataset, self.seed),
+                initargs=(self.dataset, self.seed, ctx.Value("i", 0)),
             )
         return ThreadPoolExecutor(self.num_workers)
 
@@ -161,6 +165,15 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         get_item = _proc_get if self.use_processes else self.dataset.__getitem__
+        # Create the pool on the CALLING thread, not inside the producer:
+        # forking from a spawned thread of an already-multithreaded process
+        # (the JAX runtime owns threads by iteration time) can inherit held
+        # locks into the child and deadlock; forking here, before the
+        # producer thread exists, is the fork-safe window. The executor
+        # forks lazily on first submit, so force all workers up now.
+        pool = self._make_pool()
+        if self.use_processes:
+            pool.submit(int, 0).result()
 
         def bounded_put(item) -> bool:
             """put that never wedges the producer: an abandoned consumer
@@ -176,7 +189,7 @@ class DataLoader:
 
         def produce():
             try:
-                with self._make_pool() as pool:
+                with pool:
                     for batch_idx in self._batches():
                         if stop.is_set():
                             return

@@ -227,8 +227,15 @@ def main(args_eval: dict, resume_preempt: bool = False):
     # ---- jitted programs ------------------------------------------------------
     from jepa_tpu.evals.aggregation import temporal_pos_embed_table
 
+    # table rows: ClipAggregation indexes temporal TOKEN slots
+    # (max_frames // tubelet_size rows, reference utils.py:106-112);
+    # FrameAggregation indexes raw FRAME indices (full max_frames rows,
+    # reference utils.py:43-47) — an image encoder has no tubelets.
     pos_table = (
-        temporal_pos_embed_table(enc_cfg.embed_dim, tubelet_size=tubelet_size)
+        temporal_pos_embed_table(
+            enc_cfg.embed_dim,
+            tubelet_size=tubelet_size if is_video_encoder else 1,
+        )
         if use_pos_embed
         else None
     )

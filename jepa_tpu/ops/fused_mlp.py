@@ -97,8 +97,13 @@ def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, tiles, tf):
             x, w_ref[...][:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + _bias(b_ref, sl, x.shape[0])
-        # round-trip z through the compute dtype so numerics are identical
-        # to the unfused path (linear casts to bf16 before the gelu)
+        # round-trip z through the compute dtype to match the unfused
+        # path's pre-gelu cast. bf16 outputs use the exp2-erfc gelu
+        # (bf16-level-exact up to 1-ulp rounding-boundary flips,
+        # test_bf16_fast_gelu_is_bf16_exact; measured as part of the
+        # 2.81->2.07 ms/layer full-w win) — unlike the unfused path's
+        # JEPA_FAST_GELU opt-in, which is still pending its own step-level
+        # A/B because XLA's fc1 fusion has different scheduling.
         z = z.astype(o_ref.dtype).astype(jnp.float32)
         act = _gelu_fast if o_ref.dtype == jnp.bfloat16 else _gelu
         o_ref[:, sl] = act(z).astype(o_ref.dtype)
@@ -140,6 +145,21 @@ def _pick_blocks(m: int, k: int, f: int):
     return bm, bf
 
 
+def _pick_fullw_tiles(f: int):
+    """Sub-tile count for the full-w kernel: must DIVIDE f with 128-aligned
+    tiles (a non-covering loop would leave output columns unwritten, and
+    off-lane slices are outside the validated Mosaic envelope). Prefers
+    ~512-wide fp32 z tiles; returns 0 when no legal tiling exists (caller
+    falls back to the blocked grid, which guarantees divisibility)."""
+    if f % 128:
+        return 0
+    want = max(_TILES, f // 512)
+    for t in range(want, f // 128 + 1):
+        if f % t == 0 and (f // t) % 128 == 0:
+            return t
+    return _TILES if f % _TILES == 0 and (f // _TILES) % 128 == 0 else 0
+
+
 def _pick_bm_fullw(m: int, k: int, f: int, itemsize: int, n_out: int):
     """Largest bm whose x + n_out output tiles + fp32 z tile fit beside
     the resident w (Mosaic scoped-vmem limit is 16MB)."""
@@ -162,9 +182,9 @@ def _call(kernel, x, w, b, with_z, interpret):
     # full-w is fwd-only: the two-output (o, z) variant crashes Mosaic in
     # this configuration (HTTP-500, v5e), and differentiated call sites are
     # not the production path (BlockCfg.fused_mlp is grad-free only)
-    if not with_z and k * f * x.dtype.itemsize <= _FULL_W_BYTES:
+    tiles = _pick_fullw_tiles(f)
+    if not with_z and tiles and k * f * x.dtype.itemsize <= _FULL_W_BYTES:
         bm = _pick_bm_fullw(m, k, f, x.dtype.itemsize, 2 if with_z else 1)
-        tiles = max(_TILES, f // 512)  # bound the fp32 z tile to [bm, 512]
         grid = (pl.cdiv(m, bm),)
         in_specs = [
             pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -138,3 +138,35 @@ def test_clip_aggregation_temporal_pos_embed_rows():
     pe = np.repeat(np.asarray(table)[[0, 2, 10, 12]], n_spatial, axis=0)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base[0]) + pe,
                                atol=1e-5, rtol=1e-5)
+
+
+def test_frame_aggregation_temporal_pos_embed_uses_raw_frame_rows():
+    """FrameAggregation indexes the table with RAW frame indices over a
+    full max_frames-row table (reference utils.py:43-47, no tubelet
+    division — unlike ClipAggregation's max_frames//tubelet table,
+    utils.py:106-112). A half-size table would silently clamp indices
+    >= max_frames//2."""
+    import jax
+    import jax.numpy as jnp
+
+    from jepa_tpu.evals.aggregation import frame_aggregation, temporal_pos_embed_table
+    from jepa_tpu.models.factory import vit_cfg
+    from jepa_tpu.models.vit import init_vit
+
+    cfg = vit_cfg("vit_tiny", img_size=32, patch_size=16, num_frames=1,
+                  tubelet_size=2, compute_dtype=jnp.float32)
+    params, consts = init_vit(jax.random.PRNGKey(0), cfg)
+    clips = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1, 2, 32, 32, 3))
+    max_frames = 16
+    table = temporal_pos_embed_table(cfg.embed_dim, max_frames=max_frames,
+                                     tubelet_size=1)
+    assert table.shape[0] == max_frames  # frame path: no tubelet division
+    # raw frame indices BEYOND max_frames//2 must hit their true rows
+    ci = jnp.asarray([[[9, 15]]])  # [B=1, S=1, T=2]
+    base = frame_aggregation(params, consts, clips, cfg)[0]
+    out = frame_aggregation(params, consts, clips, cfg,
+                            pos_embed_table=table, clip_indices=ci)[0]
+    n = base.shape[1] // 2
+    pe = np.repeat(np.asarray(table)[[9, 15]], n, axis=0)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base[0]) + pe,
+                               atol=1e-5, rtol=1e-5)

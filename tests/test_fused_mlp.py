@@ -35,6 +35,24 @@ def test_forward_matches_reference():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_fullw_non_divisible_f_writes_every_column():
+    """f=1792 fits the full-w VMEM budget but max(2, f//512)=3 does not
+    divide it — the old tiling left the last column unwritten (silent
+    garbage). _pick_fullw_tiles must find a covering 128-aligned tiling
+    (7x256) or fall back to the blocked grid."""
+    from jepa_tpu.ops.fused_mlp import _pick_fullw_tiles
+
+    t = _pick_fullw_tiles(1792)
+    assert t and 1792 % t == 0 and (1792 // t) % 128 == 0
+    assert _pick_fullw_tiles(4096) == 8 and _pick_fullw_tiles(5120) == 10
+    assert _pick_fullw_tiles(1000) == 0  # not lane-aligned -> blocked path
+
+    x, w, b = _data(256, 448, 1792, seed=3)
+    got = linear_gelu(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_ref(x, w, b)),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_grads_match_reference():
     x, w, b = _data(160, 128, 256, seed=1)
 
