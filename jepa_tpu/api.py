@@ -117,3 +117,90 @@ def load_encoder(
             )["params"]["encoder"]
     params = jax.tree.map(np.asarray, params)
     return Encoder(params=params, consts=consts, cfg=cfg)
+
+
+@dataclasses.dataclass
+class VideoClassifier:
+    """A frozen encoder + trained attentive probe, one jitted program.
+
+    ``classify`` returns fp32 softmax probabilities [B, num_classes]. For
+    the eval protocol's multi-view accuracy, call it per view and average
+    the probabilities (what the frozen evals do over S*V views)."""
+
+    encoder: Encoder
+    clf_params: dict
+    acfg: "AttentiveCfg"
+
+    def __post_init__(self):
+        from jepa_tpu.models.attentive import classifier_forward
+
+        enc, acfg = self.encoder, self.acfg
+
+        @functools.partial(jax.jit, static_argnames=("normalize",))
+        def _classify(enc_params, enc_consts, clf, x, normalize):
+            feats = enc._encode(enc_params, enc_consts, x, normalize)
+            logits = classifier_forward(clf, feats, acfg)  # fp32 feats, as the evals feed it
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._classify = _classify
+
+    def classify(self, clips, normalize: Optional[bool] = None) -> jax.Array:
+        clips = jnp.asarray(clips)
+        if normalize is None:
+            normalize = clips.dtype == jnp.uint8
+        return self._classify(
+            self.encoder.params, self.encoder.consts, self.clf_params,
+            clips, bool(normalize),
+        )
+
+    @property
+    def num_classes(self) -> int:
+        return self.acfg.num_classes
+
+
+def load_classifier(
+    checkpoint: str,
+    encoder: Encoder,
+    num_classes: int,
+    depth: int = 1,
+    checkpoint_key: str = "classifier",
+) -> VideoClassifier:
+    """Load a trained attentive probe on top of a loaded encoder.
+
+    Accepts a jepa_tpu eval probe checkpoint (orbax dir; the frozen evals
+    save {'classifier': ...} per epoch) or a reference ``.pth.tar``
+    classifier file (ported strictly — a shape mismatch raises). ``depth``
+    must match the probe's training config (the evals use 1)."""
+    from jepa_tpu.models.attentive import AttentiveCfg, init_attentive_classifier
+
+    acfg = AttentiveCfg(
+        embed_dim=encoder.cfg.embed_dim,
+        num_heads=encoder.cfg.num_heads,
+        depth=depth,
+        num_classes=num_classes,
+        compute_dtype=encoder.cfg.compute_dtype,
+    )
+    template = init_attentive_classifier(jax.random.PRNGKey(0), acfg)
+    if checkpoint.endswith((".pth.tar", ".pth", ".pt")):
+        import torch
+
+        from jepa_tpu.utils.checkpoint_port import port_attentive_classifier
+
+        ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+        sd = ckpt[checkpoint_key] if checkpoint_key in ckpt else ckpt
+        clf = port_attentive_classifier(sd, acfg)
+        bad = [
+            f"{'/'.join(map(str, kp))}: ckpt{tuple(got.shape)} != model{tuple(want.shape)}"
+            for (kp, got), want in zip(
+                jax.tree_util.tree_leaves_with_path(clf), jax.tree.leaves(template)
+            )
+            if tuple(got.shape) != tuple(want.shape)
+        ]
+        if bad:
+            raise ValueError("classifier port: shape mismatches:\n  " + "\n  ".join(bad))
+    else:
+        from jepa_tpu.utils import checkpoint as ckpt_lib
+
+        clf = ckpt_lib.load_subtree(checkpoint, {"classifier": template})["classifier"]
+    clf = jax.tree.map(np.asarray, clf)
+    return VideoClassifier(encoder=encoder, clf_params=clf, acfg=acfg)

@@ -101,3 +101,72 @@ def test_load_encoder_validates_key_and_defaults_strict(tmp_path):
                        num_frames=4, tubelet_size=2,
                        compute_dtype=jnp.float32, tolerant=True)
     assert enc.embed_dim == 384
+
+
+def test_load_classifier_orbax_and_classify(tmp_path):
+    """VideoClassifier serving path: eval probe checkpoint + encoder ->
+    softmax probabilities matching a manual encode->classifier_forward."""
+    from jepa_tpu.api import load_classifier
+    from jepa_tpu.models.attentive import (
+        AttentiveCfg,
+        classifier_forward,
+        init_attentive_classifier,
+    )
+    from jepa_tpu.train.optimizer import init_adamw_state
+
+    path, state, consts, enc_cfg = _pretrain_ckpt(tmp_path)
+    enc = load_encoder(path, "vit_tiny", img_size=32, patch_size=16,
+                       num_frames=4, tubelet_size=2, uniform_power=True,
+                       compute_dtype=jnp.float32)
+    acfg = AttentiveCfg(embed_dim=enc.embed_dim, num_heads=3, depth=1,
+                        num_classes=7, compute_dtype=jnp.float32)
+    clf = init_attentive_classifier(jax.random.PRNGKey(5), acfg)
+    probe_dir = tmp_path / "probe"
+    ckpt_lib.save_checkpoint(
+        str(probe_dir), "k400",
+        {"classifier": jax.device_get(clf),
+         "opt": jax.device_get(init_adamw_state(clf)), "step": 0},
+        epoch=3,
+    )
+    vc = load_classifier(str(probe_dir / "k400-latest"), enc, num_classes=7)
+    clips = np.random.default_rng(1).integers(0, 255, size=(2, 4, 32, 32, 3),
+                                              dtype=np.uint8)
+    probs = np.asarray(vc.classify(clips))
+    assert probs.shape == (2, 7)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    want = jax.nn.softmax(classifier_forward(clf, enc.encode(clips), acfg))
+    np.testing.assert_allclose(probs, np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    # wrong probe geometry must raise, not serve garbage
+    import pytest
+
+    with pytest.raises((KeyError, ValueError)):
+        load_classifier(str(probe_dir / "k400-latest"), enc, num_classes=9)
+
+
+def test_load_classifier_from_torch_pth(tmp_path):
+    """Ported reference-format probe matches the torch oracle's forward."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracle import OracleAttentiveClassifier
+    from jepa_tpu.api import load_classifier
+
+    path, state, consts, enc_cfg = _pretrain_ckpt(tmp_path)
+    enc = load_encoder(path, "vit_tiny", img_size=32, patch_size=16,
+                       num_frames=4, tubelet_size=2, uniform_power=True,
+                       compute_dtype=jnp.float32)
+    oracle = OracleAttentiveClassifier(dim=enc.embed_dim, heads=3, num_classes=5)
+    for p in oracle.parameters():
+        torch.nn.init.normal_(p, std=0.05)
+    pth = str(tmp_path / "probe.pth.tar")
+    torch.save({"classifier": oracle.state_dict()}, pth)
+
+    vc = load_classifier(pth, enc, num_classes=5)
+    clips = np.random.default_rng(2).integers(0, 255, size=(2, 4, 32, 32, 3),
+                                              dtype=np.uint8)
+    probs = np.asarray(vc.classify(clips))
+    feats = torch.from_numpy(np.asarray(enc.encode(clips)))
+    with torch.no_grad():
+        want = torch.softmax(oracle(feats), dim=-1).numpy()
+    np.testing.assert_allclose(probs, want, atol=2e-5, rtol=2e-5)
