@@ -57,11 +57,13 @@ class BlockCfg:
 
 
 def _fast_gelu_enabled() -> bool:
-    """A/B gate for the exp2-erfc gelu on trainable bf16 MLPs (see mlp());
-    default off until the on-chip win is recorded in BENCH.md."""
+    """exp2-erfc gelu on trainable bf16 MLPs (see mlp()); bf16-exact values
+    (tests/test_fused_mlp.py) and a measured 775 -> 750 ms/step win on the
+    fused ViT-L pretrain step (round-3 on-chip A/B, BENCH.md). Default ON;
+    JEPA_FAST_GELU=0 restores the exact-erf tail."""
     import os
 
-    return os.environ.get("JEPA_FAST_GELU", "0") == "1"
+    return os.environ.get("JEPA_FAST_GELU", "1") == "1"
 
 
 def layer_norm(x, scale, bias, eps):
