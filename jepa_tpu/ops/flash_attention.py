@@ -785,8 +785,28 @@ def _tm_kv_chunk() -> int:
     return int(os.environ.get("JEPA_TM_KV_CHUNK", "0"))
 
 
+# Static softmax shift (base-2 units). Subtracting ANY constant is exact
+# softmax math; only the fp RANGE depends on it. With C=64 and p cast to
+# the compute dtype (bf16 — 8-bit mantissa, fp32 exponent range), the
+# no-max result matches the row-max kernel within bf16-p rounding for all
+# base-2 logits in (C-126, C+127) ≈ natural-unit logits in (-43, +132) —
+# far beyond anything a pre-LN ViT produces (LN-bounded q,k; the reference
+# trains in the same bf16 regime). lse stays exact: C + log2(sum 2^(s-C)).
+_TM_STATIC_SHIFT = 64.0
+
+
+def _tm_no_max() -> bool:
+    """Drop the per-row max pass in the fwd kernels (`JEPA_TM_NO_MAX=1`):
+    the [bq, nk] fp32 VPU max reduction is ~40% of the serial softmax VPU
+    time that the round-3 xplane shows between the two MXU calls. Default
+    off; flipped by BlockCfg users only after the on-chip A/B (BENCH.md)."""
+    import os
+
+    return os.environ.get("JEPA_TM_NO_MAX", "0") == "1"
+
+
 def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,
-                   kv_chunk=0):
+                   kv_chunk=0, no_max=False):
     if len(rest) == 3:
         mask_ref, o_ref, lse_ref = rest
     else:
@@ -828,6 +848,21 @@ def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,
         # math exact (same o/lse up to fp assoc); an all-masked chunk is
         # benign because _NEG_INF is finite — a later real max zeroes its
         # contribution via alpha = exp2(m_old - m_new) = 0.
+        if no_max and len(bounds) == 1:
+            # Static-shift softmax: exp2(s - C) with compile-time C — the
+            # [bq, nk] fp32 max reduction disappears; exact within bf16-p
+            # rounding for |logits| far beyond ViT range (see
+            # _TM_STATIC_SHIFT). lse keeps its exact value.
+            p = jnp.exp2(s_chunk(*bounds[0]) - _TM_STATIC_SHIFT).astype(v.dtype)
+            v_ext = jnp.concatenate([v[:, sl], ones], axis=1)
+            o_l = jax.lax.dot_general(
+                p, v_ext, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_safe = jnp.maximum(o_l[:, hdim:hdim + 1], 1e-30)
+            outs.append((o_l[:, :hdim] / l_safe).astype(o_ref.dtype))
+            lses.append(_TM_STATIC_SHIFT + jnp.log2(l_safe))
+            continue
         m = None
         o_l = None
         s_cur = s_chunk(*bounds[0])
@@ -885,7 +920,7 @@ def _fwd_tm(qkv, mask, meta):
         args.append(mask)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_tm_kernel, scale=scale, heads=hg, hdim=hdim,
-                          kv_chunk=_tm_kv_chunk()),
+                          kv_chunk=_tm_kv_chunk(), no_max=_tm_no_max()),
         grid=grid,
         in_specs=in_specs,
         out_specs=[

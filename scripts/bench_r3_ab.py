@@ -82,7 +82,17 @@ VARIANTS = [
     ("kv784", {"JEPA_TM_KV_CHUNK": "784"}),
     ("unroll2", {"ENC_UNROLL": "2", "PRED_UNROLL": "2"}),
     ("split_t", {"JEPA_SCAN_SPLIT_TRANSPOSE": "1"}),
+    ("no_max", {"JEPA_TM_NO_MAX": "1"}),
 ]
+
+
+def _selected():
+    """--only a,b,c restricts the sweep (e.g. --only base,no_max)."""
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            names = set(sys.argv[i + 1].split(","))
+            return [(n, e) for n, e in VARIANTS if n in names]
+    return VARIANTS
 
 
 def run_variant(name: str, env: dict, iters: int) -> dict | None:
@@ -110,7 +120,8 @@ def run_variant(name: str, env: dict, iters: int) -> dict | None:
 def main():
     iters = 5 if "--quick" in sys.argv else 10
     results = {}
-    for name, env in VARIANTS:
+    sel = _selected()
+    for name, env in sel:
         r = run_variant(name, env, iters)
         if r:
             results[name] = r
@@ -118,7 +129,7 @@ def main():
     if base:
         # combine every knob that individually beat base by >0.5%
         combo_env = {}
-        for name, env in VARIANTS[1:]:
+        for name, env in sel[1:]:
             r = results.get(name)
             if r and r["step_ms"] < base["step_ms"] * 0.995:
                 combo_env.update(env)

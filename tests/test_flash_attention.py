@@ -197,6 +197,53 @@ def test_tm_chunked_kv_matches_one_shot(monkeypatch):
     jax.clear_caches()
 
 
+def test_tm_no_max_matches_row_max(monkeypatch):
+    """The static-shift softmax (JEPA_TM_NO_MAX=1) drops the per-row max
+    pass; subtracting any constant is exact softmax math, so outputs, lse
+    (via grads), masked and unmasked must match the row-max kernel to fp
+    rounding — including logits pushed well away from zero (both signs),
+    where only the fp RANGE could diverge."""
+    from jepa_tpu.ops.flash_attention import flash_self_attention
+
+    b, n, h, c = 2, 149, 4, 32
+    d = h * c
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(kx, (b, n, d), jnp.float32) * 0.5
+    w = jax.random.normal(kw, (d, 3 * d), jnp.float32) * 0.1
+    bias = jax.random.normal(kb, (3 * d,), jnp.float32) * 0.1
+    # 8x the qk block of w -> logits spread to roughly +-40 natural units
+    w_hot = w.at[:, : 2 * d].multiply(8.0)
+    mask = jnp.asarray(np.arange(n)[None, :].repeat(b, 0) < 64)
+
+    def run(x, w, bias, kv_mask):
+        o = flash_self_attention(x, w, bias, h, kv_mask=kv_mask, interpret=True)
+        return o, jax.grad(
+            lambda *a: jnp.sum(jnp.sin(flash_self_attention(
+                *a, h, kv_mask=kv_mask, interpret=True))), argnums=(0, 1, 2)
+        )(x, w, bias)
+
+    # grads at +-40-unit logits see bf16-p rounding amplified by the wide
+    # p dynamic range (both kernels quantize p to bf16; the shift just
+    # changes WHICH ulp) — tolerance scaled accordingly for the hot case
+    for wmat, gtol in ((w, 3e-5), (w_hot, 5e-4)):
+        for kv_mask in (None, mask):
+            monkeypatch.delenv("JEPA_TM_NO_MAX", raising=False)
+            jax.clear_caches()
+            o_ref, g_ref = run(x, wmat, bias, kv_mask)
+            monkeypatch.setenv("JEPA_TM_NO_MAX", "1")
+            jax.clear_caches()  # the env knob is read at trace time
+            o_nm, g_nm = run(x, wmat, bias, kv_mask)
+            np.testing.assert_allclose(
+                np.asarray(o_nm), np.asarray(o_ref), atol=3e-6, rtol=3e-6,
+                err_msg=f"o no_max mask={kv_mask is not None}")
+            for a, bb, name in zip(g_nm, g_ref, ("dx", "dw", "db")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(bb), atol=gtol, rtol=gtol,
+                    err_msg=f"{name} no_max mask={kv_mask is not None}")
+    monkeypatch.delenv("JEPA_TM_NO_MAX", raising=False)
+    jax.clear_caches()
+
+
 def test_tm_param_picker_production_shapes():
     """The compiler-guardrail picker must route every production shape to a
     configuration inside the validated envelope (<=8 unrolled heads,
