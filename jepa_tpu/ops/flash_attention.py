@@ -796,13 +796,16 @@ _TM_STATIC_SHIFT = 64.0
 
 
 def _tm_no_max() -> bool:
-    """Drop the per-row max pass in the fwd kernels (`JEPA_TM_NO_MAX=1`):
-    the [bq, nk] fp32 VPU max reduction is ~40% of the serial softmax VPU
-    time that the round-3 xplane shows between the two MXU calls. Default
-    off; flipped by BlockCfg users only after the on-chip A/B (BENCH.md)."""
+    """Drop the per-row max pass in the fwd kernels: the [bq, nk] fp32 VPU
+    max reduction is ~40% of the serial softmax VPU time the round-3 xplane
+    shows between the two MXU calls. Default ON after the on-chip A/B
+    (fused ViT-L step 748.9 -> 734.4 ms, loss identical to 6 decimals;
+    BENCH.md) — exact softmax math within bf16-p rounding across the whole
+    pre-LN-ViT logit range (see _TM_STATIC_SHIFT). `JEPA_TM_NO_MAX=0`
+    restores the per-row max kernel."""
     import os
 
-    return os.environ.get("JEPA_TM_NO_MAX", "0") == "1"
+    return os.environ.get("JEPA_TM_NO_MAX", "1") == "1"
 
 
 def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,

@@ -102,6 +102,21 @@ def make_scan_remat():
     return f
 
 
+def make_scan_bf16w():
+    """Weight stacks already bf16 — no cast in the body, so the grad path
+    has no convert riding the dW DUS and the stack is half the bytes.
+    Isolates whether the per-layer DUS tax is the fused f32 convert."""
+
+    def f(x, ws):
+        def step(c, w):
+            return body(c, w), None
+
+        out, _ = jax.lax.scan(step, x, ws)
+        return jnp.sum(out.astype(jnp.float32))
+
+    return f
+
+
 def f_unrolled(x, ws_list):
     for w in ws_list:
         x = body(x, w.astype(jnp.bfloat16))
@@ -167,6 +182,7 @@ def main():
         ("scan_g3",  make_scan_groups(3), (x, ws_g3)),
         ("scan_g6",  make_scan_groups(6), (x, ws_g6)),
         ("g3_rmt",   make_scan_groups(3, remat=True), (x, ws_g3)),
+        ("bf16w",    make_scan_bf16w(), (x, ws.astype(jnp.bfloat16))),
         ("unrolled", f_unrolled, (x, ws_list)),
     ]:
         try:
