@@ -79,7 +79,12 @@ def main():
         ipe=300, num_epochs=300, warmup_epochs=40, start_lr=2e-4, ref_lr=6.25e-4,
         final_lr=1e-6, wd=0.04, final_wd=0.4, ema=(0.998, 1.0), ipe_scale=1.25,
     )
-    state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg)
+    # per-layer block state on TPU: kills the scan-transpose / restack DUS
+    # copies (731.6 -> 695.1 ms/step at ViT-L b24; BENCH.md round 4).
+    # JEPA_UNROLL_GRADS=0 restores the stacked lax.scan layout for A/B.
+    unroll_blocks = (not on_cpu) and os.environ.get("JEPA_UNROLL_GRADS", "2") == "2"
+    state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg,
+                                     unroll_blocks=unroll_blocks)
 
     result = None
     for batch in batch_candidates:

@@ -164,7 +164,14 @@ def main(args: dict, resume_preempt: bool = False):
         # (~2% step win for ~0.8GB HBM at ViT-L/b24; meta.pred_remat opts out)
         remat=cfgs_meta.get("pred_remat", "attn" if cfgs_meta.get("remat", True) else False),
     )
-    state, consts = init_train_state(jax.random.PRNGKey(seed), enc_cfg, pred_cfg)
+    # per-layer block state (meta.unroll_blocks): kills the scan-transpose /
+    # restack DUS copies on TPU (BENCH.md round 4: 731.6 -> 695.1 ms/step at
+    # ViT-L b24). Checkpoints stay in the canonical stacked layout via
+    # stack_train_state/unstack_train_state at the save/load boundaries.
+    unroll_blocks = bool(cfgs_meta.get("unroll_blocks", False))
+    state, consts = init_train_state(
+        jax.random.PRNGKey(seed), enc_cfg, pred_cfg, unroll_blocks=unroll_blocks
+    )
     n_enc = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state["params"]["encoder"]))
     n_pred = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state["params"]["predictor"]))
     logger.info("encoder parameters: %d", n_enc)
@@ -294,7 +301,18 @@ def main(args: dict, resume_preempt: bool = False):
     start_epoch = 0
     latest_exists = os.path.exists(os.path.join(os.path.abspath(folder), f"{tag}-latest"))
     if load_model or latest_exists:
-        state, start_epoch = ckpt_lib.load_checkpoint(folder, tag, state, read_path=r_file)
+        if unroll_blocks:
+            # checkpoints are canonical stacked: restore against a stacked
+            # template, then return to the per-layer runtime layout
+            from jepa_tpu.train.step import stack_train_state, unstack_train_state
+
+            stacked, start_epoch = ckpt_lib.load_checkpoint(
+                folder, tag, stack_train_state(state), read_path=r_file
+            )
+            state = unstack_train_state(stacked, enc_cfg.depth, pred_cfg.depth)
+            state = jax.device_put(state, state_shardings)
+        else:
+            state, start_epoch = ckpt_lib.load_checkpoint(folder, tag, state, read_path=r_file)
         if host_collator is not None:
             host_collator.set_step(start_epoch * ipe)
 
@@ -447,16 +465,21 @@ def main(args: dict, resume_preempt: bool = False):
 
         logger.info("avg. loss %.3f", meters["loss"].avg)
         if epoch % CHECKPOINT_FREQ == 0 or epoch == num_epochs - 1:
+            # canonical stacked layout on disk regardless of the runtime
+            # block layout (stack_train_state is a no-op when stacked)
+            from jepa_tpu.train.step import stack_train_state
+
+            ckpt_state = jax.device_get(stack_train_state(state))
             # EVERY process calls the orbax save (it coordinates internally
             # and process 0 writes) — a rank-0-only call deadlocks in
             # orbax's multihost barrier when process_count > 1
-            ckpt_lib.save_checkpoint(folder, tag, jax.device_get(state), epoch + 1, save_every_freq)
+            ckpt_lib.save_checkpoint(folder, tag, ckpt_state, epoch + 1, save_every_freq)
             if export_torch and rank == 0:
                 # reference-compatible .pth.tar so original-framework users
                 # can consume jepa_tpu pretrained weights directly
                 from jepa_tpu.utils.checkpoint_port import save_torch_checkpoint
 
-                host = jax.device_get(state)
+                host = ckpt_state
                 save_torch_checkpoint(
                     os.path.join(folder, f"{tag}-latest.pth.tar"),
                     encoder=(host["params"]["encoder"], consts["encoder"]),

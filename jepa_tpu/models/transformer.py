@@ -161,17 +161,56 @@ def block_forward(x, p, cfg: BlockCfg, kv_mask=None):
     return x + mlp(y, p["mlp"], cfg)
 
 
-def _save_flash_residuals(prim, *_, **__):
+def _save_flash_residuals(prim, *_, **params):
     """Checkpoint policy: save the (o, lse) outputs of optimize_remat
     custom_vjp forwards (the Pallas flash-attention kernels) so the backward
     pass never re-runs the forward kernel — only LN/matmul/MLP recompute.
-    ~22-34MB/layer at production shapes vs re-running the VPU-bound kernel."""
-    return prim.name == "remat_opt"
+    ~22-34MB/layer at production shapes vs re-running the VPU-bound kernel.
+    With JEPA_REMAT_SAVE_QKV=1, also save the named qkv projection outputs
+    (ops.flash_attention "qkv_out"): the backward then skips the per-layer
+    LN1 + projection recompute entirely (more HBM for less recompute)."""
+    if prim.name == "remat_opt":
+        return True
+    if prim.name == "name" and params.get("name") == "qkv_out":
+        from jepa_tpu.ops.flash_attention import _remat_save_qkv
+
+        return _remat_save_qkv()
+    return False
+
+
+def unstack_blocks(stacked, depth: int):
+    """Stacked block pytree -> tuple of per-layer pytrees (slice reads).
+
+    Used by the unrolled-grads mode: taking grads w.r.t. the per-layer
+    trees makes each dW a standalone buffer instead of a dynamic-update-
+    slice into the [depth, ...] stack (the scan-transpose DUS runs at
+    whole-stack-copy cost on v5e; BENCH.md round-3/4 measurements)."""
+    return tuple(
+        jax.tree.map(lambda a: a[i], stacked) for i in range(depth)
+    )
+
+
+def restack_blocks(layers):
+    """Tuple of per-layer pytrees -> stacked (one concatenate per leaf).
+
+    The optimization barrier stops XLA from output-fusing each per-layer dW
+    producer into a dynamic-update-slice chain over the stacked buffer —
+    that chain fails to alias in place and reruns at whole-buffer-copy cost
+    (the same pathology as the scan-transpose grad stacking; measured
+    ~24 ms/step at ViT-L, BENCH.md round 4). Behind the barrier XLA emits
+    one true concatenate per leaf, which runs at HBM bandwidth.
+    JEPA_RESTACK_BARRIER=0 disables (A/B knob)."""
+    import os
+
+    if os.environ.get("JEPA_RESTACK_BARRIER", "1") == "1":
+        layers = jax.lax.optimization_barrier(tuple(layers))
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
 
 
 def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False,
                remat=False, unroll: int = 1):
-    """Run a stacked block pytree with lax.scan.
+    """Run a block stack: lax.scan over stacked leaves, or an unrolled
+    Python loop when ``stacked`` is a tuple/list of per-layer pytrees.
 
     x: [B, N, D] (cast to compute dtype inside). When ``collect_layers`` is
     true, also returns the per-layer outputs [depth, B, N, D] (for the
@@ -187,6 +226,24 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False,
     the scan-transpose grad-stack DUS copies.
     """
     x = x.astype(cfg.compute_dtype)
+
+    if isinstance(stacked, (list, tuple)):
+        # Unrolled path (per-layer param trees). prevent_cse stays at the
+        # default True here: outside a scan, XLA could otherwise CSE the
+        # bwd recompute with the fwd and defeat the remat.
+        def one(c, p):
+            return block_forward(c, p, cfg, kv_mask=kv_mask)
+
+        if remat == "attn":
+            one = jax.checkpoint(one, policy=_save_flash_residuals)
+        elif remat:
+            one = jax.checkpoint(one)
+        layers = [] if collect_layers else None
+        for p in stacked:
+            x = one(x, p)
+            if collect_layers:
+                layers.append(x)
+        return (x, jnp.stack(layers, axis=0)) if collect_layers else (x, None)
 
     def body(carry, layer_params):
         out = block_forward(carry, layer_params, cfg, kv_mask=kv_mask)

@@ -44,6 +44,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -789,9 +790,17 @@ def _tm_kv_chunk() -> int:
 # softmax math; only the fp RANGE depends on it. With C=64 and p cast to
 # the compute dtype (bf16 — 8-bit mantissa, fp32 exponent range), the
 # no-max result matches the row-max kernel within bf16-p rounding for all
-# base-2 logits in (C-126, C+127) ≈ natural-unit logits in (-43, +132) —
-# far beyond anything a pre-LN ViT produces (LN-bounded q,k; the reference
-# trains in the same bf16 regime). lse stays exact: C + log2(sum 2^(s-C)).
+# base-2 logits up to C+127 ≈ +132 natural units on the high side. The LOW
+# side is limited by the l_safe denominator clamp (1e-30 ≈ 2^-99.7), not by
+# the fp32 exponent floor: once a row's ENTIRE softmax mass sits below
+# ~C-99.7 base-2 (≈ -25 natural units for every logit in the row), the
+# clamp fires, silently attenuating o and corrupting lse — a regime the
+# row-max kernel handles exactly (its l >= 1, clamp never fires). Rows
+# where every key is masked also diverge: this kernel returns zeros, the
+# row-max kernel a uniform average. Both regimes are far outside pre-LN-ViT
+# logit ranges (LN-bounded q,k; the reference trains in the same bf16
+# regime), and the train/eval paths never feed fully-masked rows.
+# lse stays exact: C + log2(sum 2^(s-C)).
 _TM_STATIC_SHIFT = 64.0
 
 
@@ -1152,6 +1161,65 @@ _flash_tm_masked.defvjp(_flash_tm_masked_fwd, _flash_tm_masked_bwd,
                         optimize_remat=True)
 
 
+# Save-qkv variants (JEPA_REMAT_SAVE_QKV=1): the projection runs OUTSIDE the
+# custom_vjp as a plain matmul whose output is checkpoint_name'd "qkv_out";
+# with the matching remat policy the backward consumes the SAVED qkv instead
+# of recomputing LN1 + the projection per layer (~12 ms/step at ViT-L b24
+# for ~3.7 GB extra HBM — BENCH.md round 4). Projection grads (dx, dw, db)
+# fall out of XLA autodiff of the matmul; the kernel bwd returns one
+# token-major dqkv so the matmul's transpose consumes it directly.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_tm_qkv(meta, qkv):
+    return _fwd_tm(qkv, None, meta)
+
+
+def _flash_tm_qkv_fwd(meta, qkv):
+    o, lse = _fwd_tm(qkv, None, meta)
+    return (o, lse), (qkv, o, lse)
+
+
+def _flash_tm_qkv_bwd(meta, res, cts):
+    qkv, o, lse = res
+    do, _ = cts
+    dq, dk, dv = _bwd_tm(qkv, None, o, lse, do, meta)
+    return (jnp.concatenate([dq, dk, dv], axis=-1).astype(qkv.dtype),)
+
+
+_flash_tm_qkv.defvjp(_flash_tm_qkv_fwd, _flash_tm_qkv_bwd, optimize_remat=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_tm_qkv_masked(meta, qkv, mask):
+    return _fwd_tm(qkv, mask, meta)
+
+
+def _flash_tm_qkv_masked_fwd(meta, qkv, mask):
+    o, lse = _fwd_tm(qkv, mask, meta)
+    return (o, lse), (qkv, mask, o, lse)
+
+
+def _flash_tm_qkv_masked_bwd(meta, res, cts):
+    qkv, mask, o, lse = res
+    do, _ = cts
+    dq, dk, dv = _bwd_tm(qkv, mask, o, lse, do, meta)
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return jnp.concatenate([dq, dk, dv], axis=-1).astype(qkv.dtype), dmask
+
+
+_flash_tm_qkv_masked.defvjp(_flash_tm_qkv_masked_fwd, _flash_tm_qkv_masked_bwd,
+                            optimize_remat=True)
+
+
+def _remat_save_qkv() -> bool:
+    """Opt-in: save the qkv projection output across the remat boundary
+    instead of recomputing it in the backward (see variants above)."""
+    import os
+
+    return os.environ.get("JEPA_REMAT_SAVE_QKV", "0") == "1"
+
+
 def flash_self_attention(
     x: jnp.ndarray,
     w_qkv: jnp.ndarray,
@@ -1228,7 +1296,21 @@ def flash_self_attention(
 
     meta = (float(scale), num_heads, cp, pf[0], pf[1], pb[0], pb[1],
             bool(interpret))
-    if kv_mask is None:
+    if _remat_save_qkv():
+        # projection outside the custom_vjp, its output named for the remat
+        # policy: the backward reads SAVED qkv instead of recomputing
+        # LN1 + the projection (jepa_tpu.models.transformer policy)
+        qkv = jax.ad_checkpoint.checkpoint_name(
+            _project_qkv(x, w_eff, b_eff), "qkv_out"
+        )
+        if kv_mask is None:
+            o, _ = _flash_tm_qkv(meta, qkv)
+        else:
+            mask = jax.lax.broadcast_in_dim(
+                kv_mask.astype(bool), (b, _SUBLANES, n), (0, 2)
+            )
+            o, _ = _flash_tm_qkv_masked(meta, qkv, mask)
+    elif kv_mask is None:
         o, _ = _flash_tm(meta, x, w_eff, b_eff)
     else:
         mask = jax.lax.broadcast_in_dim(

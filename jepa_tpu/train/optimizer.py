@@ -88,22 +88,28 @@ def adamw_update(
         p32 = p32 * (1.0 - lr * wd * dm)
         denom = jnp.sqrt(v / bc2) + eps
         p32 = p32 - lr * (m / bc1) / denom
-        return p32.astype(p.dtype), m, v
+        # stat sums ride the update fusion (same pass over m/v) instead of
+        # a separate full-buffer reduce per leaf — with per-layer block
+        # params that separate pass was ~400 extra tiny reduce ops/step
+        # (BENCH.md round 4); values are identical (mean = sum/size)
+        return p32.astype(p.dtype), m, v, jnp.sum(jnp.abs(m)), jnp.sum(v)
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = jax.tree.leaves(grads)
     flat_m = jax.tree.leaves(opt_state["mu"])
     flat_v = jax.tree.leaves(opt_state["nu"])
     flat_dm = jax.tree.leaves(mask)
-    new_p, new_m, new_v = [], [], []
+    new_p, new_m, new_v, mean_am, mean_v = [], [], [], [], []
     for p, g, m, v, dm in zip(flat_p, flat_g, flat_m, flat_v, flat_dm):
-        a, b, c = upd(p, g, m, v, dm)
+        a, b, c, sa, sv = upd(p, g, m, v, dm)
         new_p.append(a)
         new_m.append(b)
         new_v.append(c)
+        mean_am.append(sa / p.size)
+        mean_v.append(sv / p.size)
     stats = {
-        "exp_avg_abs_mean": sum(jnp.mean(jnp.abs(m)) for m in new_m) / len(new_m),
-        "exp_avg_sq_mean": sum(jnp.mean(m) for m in new_v) / len(new_v),
+        "exp_avg_abs_mean": sum(mean_am) / len(mean_am),
+        "exp_avg_sq_mean": sum(mean_v) / len(mean_v),
     }
     return (
         jax.tree.unflatten(treedef, new_p),

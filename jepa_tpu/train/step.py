@@ -54,25 +54,108 @@ class TrainCfg:
     batch_size: int = 8  # per-step global batch of *samples* (pre num_clips)
     mask_mode: str = "fixed"  # 'fixed' | 'padded' | 'tube'
     seed: int = 234
+    # Take grads w.r.t. per-layer block params (unrolled Python-loop
+    # forward on the TRAINABLE paths; the grad-free target keeps scan).
+    # Kills the scan-transpose grad-stack DUS copies (~30 ms/step at ViT-L,
+    # BENCH.md) at the price of a depth-times-larger HLO. The train state
+    # stays stacked: slices go in, grads are restacked with one concatenate
+    # per leaf. Env override: JEPA_UNROLL_GRADS=1/0.
+    unroll_grads: bool = False
 
 
 def init_train_state(
-    rng: jax.Array, enc_cfg: ViTCfg, pred_cfg: PredictorCfg
+    rng: jax.Array,
+    enc_cfg: ViTCfg,
+    pred_cfg: PredictorCfg,
+    unroll_blocks: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Build (state, consts). Target encoder starts as a copy of the encoder
-    (reference train.py:222 deepcopy)."""
+    (reference train.py:222 deepcopy).
+
+    unroll_blocks=True keeps the TRAINABLE block structures (params and
+    AdamW moments) as per-layer pytrees instead of stacked [depth, ...]
+    leaves: forwards run unrolled, each dW is its own buffer (no
+    scan-transpose / restack dynamic-update-slice chains), and AdamW runs
+    per-layer elementwise. The grad-free TARGET stays STACKED so its
+    forward keeps the lax.scan schedule (unrolling it regressed the
+    target-path LN reduce fusions ~43 ms/step on v5e — BENCH.md round 4);
+    the EMA update restacks the new encoder params once per step. Use
+    stack_train_state/unstack_train_state to convert to/from the canonical
+    stacked checkpoint layout."""
     k_enc, k_pred = jax.random.split(rng)
     enc_params, enc_consts = init_vit(k_enc, enc_cfg)
     pred_params, pred_consts = init_predictor(k_pred, pred_cfg)
     params = {"encoder": enc_params, "predictor": pred_params}
+    if unroll_blocks:
+        from jepa_tpu.models.transformer import unstack_blocks
+
+        params = {
+            "encoder": {
+                **params["encoder"],
+                "blocks": unstack_blocks(params["encoder"]["blocks"], enc_cfg.depth),
+            },
+            "predictor": {
+                **params["predictor"],
+                "blocks": unstack_blocks(params["predictor"]["blocks"], pred_cfg.depth),
+            },
+        }
     state = {
         "step": jnp.zeros((), jnp.int32),
         "params": params,
-        "target": jax.tree.map(jnp.copy, enc_params),
+        "target": jax.tree.map(jnp.copy, enc_params),  # always stacked
         "opt": init_adamw_state(params),
     }
     consts = {"encoder": enc_consts, "predictor": pred_consts}
     return state, consts
+
+
+def _map_block_structs(state, fn):
+    """Apply ``fn(blocks, module_name) -> blocks`` to every TRAINABLE block
+    container in the train state (params + opt moments; the target is
+    always stacked and passes through untouched)."""
+    new = {
+        "step": state["step"],
+        "params": {},
+        "target": state["target"],
+        "opt": {"mu": {}, "nu": {}},
+    }
+    for mod in ("encoder", "predictor"):
+        new["params"][mod] = {
+            **state["params"][mod],
+            "blocks": fn(state["params"][mod]["blocks"], mod),
+        }
+        new["opt"]["mu"][mod] = {
+            **state["opt"]["mu"][mod],
+            "blocks": fn(state["opt"]["mu"][mod]["blocks"], mod),
+        }
+        new["opt"]["nu"][mod] = {
+            **state["opt"]["nu"][mod],
+            "blocks": fn(state["opt"]["nu"][mod]["blocks"], mod),
+        }
+    return new
+
+
+def stack_train_state(state):
+    """Per-layer train state -> canonical stacked layout (checkpoint
+    format). No-op if already stacked."""
+    from jepa_tpu.models.transformer import restack_blocks
+
+    if not isinstance(state["params"]["encoder"]["blocks"], (list, tuple)):
+        return state
+    return _map_block_structs(state, lambda blocks, _: restack_blocks(blocks))
+
+
+def unstack_train_state(state, enc_depth: int, pred_depth: int):
+    """Canonical stacked train state -> per-layer layout. No-op if already
+    per-layer."""
+    from jepa_tpu.models.transformer import unstack_blocks
+
+    if isinstance(state["params"]["encoder"]["blocks"], (list, tuple)):
+        return state
+    depths = {"encoder": enc_depth, "predictor": pred_depth}
+    return _map_block_structs(
+        state, lambda blocks, mod: unstack_blocks(blocks, depths[mod])
+    )
 
 
 def build_train_step(
@@ -93,9 +176,15 @@ def build_train_step(
     padded mode, 'masks_enc'/'masks_pred' ([B,K] int32 lists) and
     'enc_weights'/'pred_weights' validity floats.
     """
+    import os
+
     enc_consts = consts["encoder"]
     pred_consts = consts["predictor"]
     wd_mask = None  # built lazily from params structure
+    env_unroll = os.environ.get("JEPA_UNROLL_GRADS")
+    unroll_grads = (
+        train_cfg.unroll_grads if env_unroll is None else env_unroll == "1"
+    )
 
     def sample_step_masks(step, batch_size):
         base = jax.random.PRNGKey(train_cfg.seed)
@@ -181,15 +270,70 @@ def build_train_step(
             loss = l_jepa + train_cfg.reg_coeff * l_reg
             return loss, (l_jepa, l_reg)
 
-        (loss, (l_jepa, l_reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"]
+        # Per-layer STATE (init_train_state(unroll_blocks=True)) needs no
+        # conversion at all: forwards unroll off the tuple structure, each
+        # dW is its own buffer, and AdamW/EMA run per-layer. With stacked
+        # state, unroll_grads slices per-layer views in and restacks the
+        # grads (one concatenate per leaf) — checkpoint-compatible, but the
+        # restack costs ~20 ms/step at ViT-L (BENCH.md round 4).
+        per_layer_state = isinstance(
+            state["params"]["encoder"]["blocks"], (list, tuple)
         )
+        params_in = state["params"]
+        if unroll_grads and not per_layer_state:
+            from jepa_tpu.models.transformer import unstack_blocks
+
+            params_in = {
+                "encoder": {
+                    **params_in["encoder"],
+                    "blocks": unstack_blocks(
+                        params_in["encoder"]["blocks"], enc_cfg.depth
+                    ),
+                },
+                "predictor": {
+                    **params_in["predictor"],
+                    "blocks": unstack_blocks(
+                        params_in["predictor"]["blocks"], pred_cfg.depth
+                    ),
+                },
+            }
+        (loss, (l_jepa, l_reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params_in
+        )
+        if unroll_grads and not per_layer_state:
+            from jepa_tpu.models.transformer import restack_blocks
+
+            grads = {
+                "encoder": {
+                    **grads["encoder"],
+                    "blocks": restack_blocks(grads["encoder"]["blocks"]),
+                },
+                "predictor": {
+                    **grads["predictor"],
+                    "blocks": restack_blocks(grads["predictor"]["blocks"]),
+                },
+            }
+        if per_layer_state and os.environ.get("JEPA_GRADS_BARRIER", "1") == "1":
+            # Per-layer dW buffers have TWO consumers (the clip-norm pass
+            # and AdamW). Without a barrier XLA output-fuses a full
+            # RECOMPUTE of each dW chain (incl. the remat'd gelu tail —
+            # big activation re-reads) into the norm reduction: ~420 ops,
+            # ~34 ms/step at ViT-L (xplane, BENCH.md round 4). The barrier
+            # forces one materialization that both consumers read.
+            grads = jax.lax.optimization_barrier(grads)
 
         def qkv_grad_stats(g_blocks, prefix):
             """Per-layer qkv grad norms (reference grad_logger,
             src/utils/logging.py:91-105): first/last layer + min/max."""
-            qkv = g_blocks["attn"]["qkv_w"].astype(jnp.float32)
-            norms = jnp.sqrt(jnp.sum(jnp.square(qkv), axis=(1, 2)))
+            if isinstance(g_blocks, (list, tuple)):
+                norms = jnp.stack([
+                    jnp.sqrt(jnp.sum(jnp.square(
+                        g["attn"]["qkv_w"].astype(jnp.float32))))
+                    for g in g_blocks
+                ])
+            else:
+                qkv = g_blocks["attn"]["qkv_w"].astype(jnp.float32)
+                norms = jnp.sqrt(jnp.sum(jnp.square(qkv), axis=(1, 2)))
             return {
                 f"{prefix}_qkv_first": norms[0],
                 f"{prefix}_qkv_last": norms[-1],
@@ -231,7 +375,14 @@ def build_train_step(
             b2=train_cfg.betas[1],
             eps=train_cfg.eps,
         )
-        new_target = ema_update(state["target"], new_params["encoder"], momentum)
+        ema_src = new_params["encoder"]
+        if per_layer_state:
+            # target stays stacked (scan forward); restack the new encoder
+            # params once — the only stacking per step in per-layer mode
+            from jepa_tpu.models.transformer import restack_blocks
+
+            ema_src = {**ema_src, "blocks": restack_blocks(ema_src["blocks"])}
+        new_target = ema_update(state["target"], ema_src, momentum)
 
         new_state = {
             "step": step + 1,

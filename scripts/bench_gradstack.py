@@ -10,12 +10,16 @@ variants via DEVICE-SIDE xplane op sums (wall clock through the axon tunnel
 is dominated by async dispatch and reads absurdly fast; CLAUDE.md).
 
   scan        lax.scan over stacked weights (the production structure)
-  scan2       TWO scans over the same stack, losses summed (the production
-              two-mask-config pattern whose dW stacks must be added)
-  scan_T      weight stacks stored transposed [depth, f, d], used as
-              x @ w.T — flips the dW layout the scan transpose must DUS
-  scan_st     _split_transpose lowering (stacked dW as a second scan's ys)
-  unrolled    a Python-loop over per-layer weights (zero-DUS lower bound)
+  scan_rmt    the same under jax.checkpoint (the production remat body)
+  scan_g3/g6  depth split into 3/6 sequential scans (smaller dW stacks)
+  g3_rmt      3-way split under remat
+  bf16w       weight stacks already bf16 (no convert riding the dW DUS)
+  unrolled    a Python-loop over per-layer weights (zero-DUS lower bound;
+              shipped as the train step's unroll_grads mode)
+
+Round-3 verdicts (v5e, rows=9024 depth=24): transposed stacks, the
+_split_transpose lowering, and two-scan loss summing were measured and
+refuted (no DUS change); those builders have been removed.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_gradstack.py [rows] [depth]
 """
@@ -44,32 +48,13 @@ def body(x, w):
     return jnp.dot(h, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def body_T(x, wt):
-    # wt: [f, d] — same math as body(x, w) with w = wt.T
-    h = jax.lax.dot_general(x, wt, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32).astype(x.dtype)
-    return jnp.dot(h, wt, preferred_element_type=jnp.float32).astype(x.dtype)
-
-
-def make_scan(unroll=1, split_transpose=False, transposed=False):
-    f_body = body_T if transposed else body
-
+def make_scan():
     def f(x, ws):
         def step(c, w):
-            return f_body(c, w.astype(jnp.bfloat16)), None
+            return body(c, w.astype(jnp.bfloat16)), None
 
-        out, _ = jax.lax.scan(step, x, ws, unroll=unroll,
-                              _split_transpose=split_transpose)
+        out, _ = jax.lax.scan(step, x, ws)
         return jnp.sum(out.astype(jnp.float32))
-
-    return f
-
-
-def make_scan2(rows2):
-    base = make_scan()
-
-    def f(x, ws):
-        return base(x, ws) + base(x[:rows2], ws)
 
     return f
 
@@ -165,7 +150,6 @@ def main():
     d, f = 1024, 4096
     x = jax.random.normal(jax.random.PRNGKey(0), (rows, d), jnp.bfloat16)
     ws = jax.random.normal(jax.random.PRNGKey(1), (depth, d, f), jnp.float32) * 0.02
-    ws_t = jnp.transpose(ws, (0, 2, 1))
     ws_list = list(ws)
 
     stack_mb = depth * d * f * 4 / 2**20

@@ -82,12 +82,14 @@ VARIANTS = [
     ("kv784", {"JEPA_TM_KV_CHUNK": "784"}),
     ("unroll2", {"ENC_UNROLL": "2", "PRED_UNROLL": "2"}),
     ("split_t", {"JEPA_SCAN_SPLIT_TRANSPOSE": "1"}),
-    ("no_max", {"JEPA_TM_NO_MAX": "1"}),
+    # static-shift softmax is the committed default; the A/B variant now
+    # DISABLES it so the sweep can still detect this knob's effect
+    ("row_max", {"JEPA_TM_NO_MAX": "0"}),
 ]
 
 
 def _selected():
-    """--only a,b,c restricts the sweep (e.g. --only base,no_max)."""
+    """--only a,b,c restricts the sweep (e.g. --only base,row_max)."""
     for i, a in enumerate(sys.argv):
         if a == "--only" and i + 1 < len(sys.argv):
             names = set(sys.argv[i + 1].split(","))

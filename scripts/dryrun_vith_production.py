@@ -11,7 +11,13 @@ per-rank batch 24, ZeRO-1 fsdp=2 sharding — compiled by the stock local
 CPU backend and executed for one step.
 
 Run:
-  PYTHONPATH= python scripts/dryrun_vith_production.py
+  PYTHONPATH= python scripts/dryrun_vith_production.py [--img 384]
+
+--img 384 proves the vith16_384 geometry (N = 8*24*24 = 4608 tokens,
+configs/pretrain/vith16_384.yaml) instead of the default 224. At 384 the
+mesh becomes {'data': 1, 'fsdp': 8} with batch 1: activations scale ~3x
+and the replicated-per-virtual-device state already peaked at 99.3GB RSS
+at 224/batch 4 on this 125GB host (VERDICT r3 item 2).
 
 Prints one summary line with compile time, step wall time and peak RSS;
 exits nonzero on any failure. fp32 compute (CPU has no native bf16); the
@@ -28,6 +34,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DEVICES = 8
+IMG = 384 if "--img" in sys.argv and "384" in sys.argv else 224
 
 # Self-provision the virtual CPU mesh BEFORE jax imports: this proof must
 # never touch the TPU tunnel (and a stale JAX_PLATFORMS=axon with a stripped
@@ -40,7 +47,8 @@ if os.environ.get("_VITH_DRYRUN_CHILD") != "1":
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={N_DEVICES}"
     env["PYTHONPATH"] = REPO
     env["_VITH_DRYRUN_CHILD"] = "1"
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env, cwd=REPO)
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                       env=env, cwd=REPO)
     sys.exit(r.returncode)
 
 
@@ -60,7 +68,8 @@ def main(n_devices: int = N_DEVICES) -> None:
     from jepa_tpu.train.step import TrainCfg, build_train_step, init_train_state
     from jepa_tpu.utils.schedulers import build_schedules
 
-    cfg = yaml.safe_load(open(os.path.join(REPO, "configs/pretrain/vith16.yaml")))
+    cfg_name = "vith16_384.yaml" if IMG == 384 else "vith16.yaml"
+    cfg = yaml.safe_load(open(os.path.join(REPO, "configs/pretrain", cfg_name)))
     cd = cfg["data"]
     cm = cfg["model"]
     crop, frames, tub, patch = (
@@ -90,7 +99,9 @@ def main(n_devices: int = N_DEVICES) -> None:
     kc = [calibrate_keep_counts(s, grid, ref_batch) for s in specs]
     print(f"grid n={grid.n} keep_counts={kc}", flush=True)
 
-    mesh = make_mesh(fsdp=2, devices=jax.devices()[:n_devices])
+    # 384px: batch 1 on a {'data':1,'fsdp':8} mesh — the N=4608 activations
+    # at batch 4 would OOM the 125GB host (see module docstring)
+    mesh = make_mesh(fsdp=8 if IMG == 384 else 2, devices=jax.devices()[:n_devices])
     batch = mesh.shape["data"]  # 1 clip per data-parallel group: tiny batch
 
     t0 = time.time()
@@ -134,7 +145,7 @@ def main(n_devices: int = N_DEVICES) -> None:
     assert jnp.isfinite(loss), loss
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
-        f"VITH_PRODUCTION_OK mesh={dict(mesh.shape)} batch={batch} "
+        f"VITH_PRODUCTION_OK img={IMG} mesh={dict(mesh.shape)} batch={batch} "
         f"tokens={grid.n} params={n_params/1e6:.0f}M compile={t_compile:.0f}s "
         f"step={t_step:.0f}s loss={loss:.4f} peak_rss={rss_gb:.1f}GB",
         flush=True,

@@ -46,7 +46,11 @@ def build_step():
         ipe=300, num_epochs=300, warmup_epochs=40, start_lr=2e-4, ref_lr=6.25e-4,
         final_lr=1e-6, wd=0.04, final_wd=0.4, ema=(0.998, 1.0), ipe_scale=1.25,
     )
-    state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg)
+    # JEPA_UNROLL_GRADS: "1" = per-layer grads w/ restack, "2" = fully
+    # per-layer train state (zero stacking; see train/step.py)
+    unroll_state = os.environ.get("JEPA_UNROLL_GRADS") == "2"
+    state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg,
+                                     unroll_blocks=unroll_state)
     tc = TrainCfg(num_clips=1, batch_size=24, mask_mode="fixed",
                   clip_grad=10.0, clip_after_step=0, seed=0)
     fn = jax.jit(

@@ -42,6 +42,33 @@ def test_pretrain_end_to_end_and_resume(smoke_cfg, tmp_path):
     assert sum(r.startswith("3,") for r in rows2) == 3
 
 
+def test_pretrain_unroll_blocks_mode_and_stacked_resume(smoke_cfg, tmp_path):
+    """meta.unroll_blocks trains with per-layer block state but writes the
+    canonical STACKED checkpoint layout, so runs can switch layouts across
+    restarts: unrolled epoch 1 -> stacked resume epoch 2 -> unrolled
+    resume epoch 3."""
+    from jepa_tpu.apps.vjepa.train import main as train_main
+
+    smoke_cfg["meta"]["unroll_blocks"] = True
+    smoke_cfg["optimization"]["epochs"] = 1
+    smoke_cfg["logging"]["folder"] = str(tmp_path / "unroll")
+    state = train_main(smoke_cfg)
+    assert int(state["step"]) == 3
+    assert isinstance(state["params"]["encoder"]["blocks"], (list, tuple))
+
+    smoke_cfg["meta"]["unroll_blocks"] = False
+    smoke_cfg["optimization"]["epochs"] = 2
+    state2 = train_main(smoke_cfg)
+    assert int(state2["step"]) == 6
+    assert not isinstance(state2["params"]["encoder"]["blocks"], (list, tuple))
+
+    smoke_cfg["meta"]["unroll_blocks"] = True
+    smoke_cfg["optimization"]["epochs"] = 3
+    state3 = train_main(smoke_cfg)
+    assert int(state3["step"]) == 9
+    assert isinstance(state3["params"]["encoder"]["blocks"], (list, tuple))
+
+
 def test_pretrain_padded_parity_mode(smoke_cfg, tmp_path):
     from jepa_tpu.apps.vjepa.train import main as train_main
 

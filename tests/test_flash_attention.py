@@ -227,7 +227,9 @@ def test_tm_no_max_matches_row_max(monkeypatch):
     # changes WHICH ulp) — tolerance scaled accordingly for the hot case
     for wmat, gtol in ((w, 3e-5), (w_hot, 5e-4)):
         for kv_mask in (None, mask):
-            monkeypatch.delenv("JEPA_TM_NO_MAX", raising=False)
+            # explicit '0': _tm_no_max() DEFAULTS to the static-shift
+            # kernel, so delenv would compare it to itself (vacuous)
+            monkeypatch.setenv("JEPA_TM_NO_MAX", "0")
             jax.clear_caches()
             o_ref, g_ref = run(x, wmat, bias, kv_mask)
             monkeypatch.setenv("JEPA_TM_NO_MAX", "1")

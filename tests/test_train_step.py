@@ -123,6 +123,36 @@ def test_train_step_learns_and_updates_ema():
     assert float(metrics["lr"]) > 0 and 0.9 <= float(metrics["ema_momentum"]) <= 1.0
 
 
+def test_unrolled_grads_match_scan():
+    """unroll_grads=True (per-layer grad trees, Python-loop forward, grads
+    restacked with one concatenate per leaf) must be numerically identical
+    to the lax.scan path: same math, different HLO. This is the mode that
+    kills the scan-transpose grad-stack DUS copies on TPU (BENCH.md r4)."""
+    pred_cfg = predictor_cfg_for(ENC, predictor_embed_dim=16, depth=2,
+                                 num_mask_tokens=len(SPECS))
+    state0, consts = init_train_state(jax.random.PRNGKey(0), ENC, pred_cfg)
+    lr_s, wd_s, mom_s = _schedules()
+    kc = [resolve_keep_counts(s, GRID) for s in SPECS]
+    clips = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 16, 16, 3))
+    finals = []
+    for ug in (False, True):
+        tc = TrainCfg(loss_exp=1.0, reg_coeff=0.1, clip_grad=10.0,
+                      clip_after_step=0, num_clips=1, batch_size=2,
+                      mask_mode="fixed", seed=7, unroll_grads=ug)
+        fn = jax.jit(build_train_step(ENC, pred_cfg, consts, tc, lr_s, wd_s,
+                                      mom_s, SPECS, GRID, kc))
+        st = jax.tree.map(jnp.copy, state0)
+        for _ in range(2):
+            st, m = fn(st, {"clips": clips})
+        finals.append((st, float(m["loss"])))
+    (st_a, loss_a), (st_b, loss_b) = finals
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st_a["params"]), jax.tree.leaves(st_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st_a["opt"]), jax.tree.leaves(st_b["opt"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
 def test_train_step_num_clips():
     state, fn = _setup(num_clips=2)
     fn = jax.jit(fn)
