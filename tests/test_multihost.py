@@ -99,9 +99,24 @@ print("TRAIN_OK", flush=True)
 
 
 def _mh_cfg(folder, mask_mode="fixed"):
+    # 'tube' selects the random-tube mask family (reference
+    # src/masks/random_tube.py): mask_type flips the app's spec parser and
+    # meta.mask_mode 'fixed' is promoted to the on-device tube sampler.
+    mask_type = "random_tube" if mask_mode == "tube" else "multiblock3d"
+    app_mask_mode = "fixed" if mask_mode == "tube" else mask_mode
+    masks = (
+        [{"ratio": 0.5}]
+        if mask_mode == "tube"
+        else [
+            {"num_blocks": 2, "spatial_scale": [0.4, 0.4],
+             "aspect_ratio": [1.0, 1.0], "temporal_scale": [1.0, 1.0]},
+            {"num_blocks": 1, "spatial_scale": [0.7, 0.7],
+             "aspect_ratio": [1.0, 1.0], "temporal_scale": [1.0, 1.0]},
+        ]
+    )
     return {
         "app": "vjepa",
-        "meta": {"seed": 3, "dtype": "float32", "mask_mode": mask_mode,
+        "meta": {"seed": 3, "dtype": "float32", "mask_mode": app_mask_mode,
                  "remat": False, "load_checkpoint": False},
         "model": {"model_name": "vit_tiny", "pred_depth": 1,
                   "pred_embed_dim": 48, "uniform_power": True,
@@ -114,7 +129,7 @@ def _mh_cfg(folder, mask_mode="fixed"):
             # identical regardless of per-rank dataset rng state
             "num_frames": 4, "sampling_rate": 76,
             "tubelet_size": 2, "crop_size": 32, "patch_size": 16,
-            "num_workers": 1,
+            "num_workers": 1, "mask_type": mask_type,
         },
         "data_aug": {"random_resize_scale": [0.9, 1.0],
                      "random_resize_aspect_ratio": [1.0, 1.0]},
@@ -124,12 +139,7 @@ def _mh_cfg(folder, mask_mode="fixed"):
                          "weight_decay": 0.04, "final_weight_decay": 0.4,
                          "ema": [0.99, 1.0]},
         "logging": {"folder": folder, "write_tag": "mh"},
-        "mask": [
-            {"num_blocks": 2, "spatial_scale": [0.4, 0.4],
-             "aspect_ratio": [1.0, 1.0], "temporal_scale": [1.0, 1.0]},
-            {"num_blocks": 1, "spatial_scale": [0.7, 0.7],
-             "aspect_ratio": [1.0, 1.0], "temporal_scale": [1.0, 1.0]},
-        ],
+        "mask": masks,
     }
 
 
@@ -139,7 +149,7 @@ def _read_losses(csv_path):
 
 
 @pytest.mark.timeout(420)
-@pytest.mark.parametrize("mask_mode", ["fixed", "padded"])
+@pytest.mark.parametrize("mask_mode", ["fixed", "padded", "tube"])
 def test_two_process_train_matches_single_process(tmp_path, mask_mode):
     """VERDICT round-1 item 3 (+ round-2 item 9 for padded): the REAL train
     app, run as 2 processes x 1 device (global batch assembled via
