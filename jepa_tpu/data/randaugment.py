@@ -11,7 +11,9 @@ across the clip's frames — exactly the 'rand-mN-nK-mstdS-inc1' config
 family the eval probes use ('rand-m7-n4-mstd0.5-inc1',
 reference evals/video_classification_frozen/utils.py:227-231).
 
-Geometric ops (rotate/shear/translate) are bilinear affine warps with the
+Geometric ops (rotate/shear/translate) are affine warps with a per-op
+random BILINEAR|BICUBIC filter (reference randaugment.py:34,48
+_RANDOM_INTERPOLATION; both PIL-exact up to uint8 rounding) and the
 PIL-style gray fill (128). Equalize uses a 256-bin histogram LUT per frame
 and channel. All ops are branchless under vmap (lax.switch).
 """
@@ -127,14 +129,37 @@ def op_sharpness(clip, m, sign):
 # ---------------------------------------------------------------------------
 
 
-def _affine_sample(clip, a, b, c, d, e, f):
+def _cubic_weights(d):
+    """PIL Geometry.c BICUBIC tap weights at offsets -1, 0, 1, 2.
+
+    Expansion of PIL's macro v = p1 + d*(p2 + d*(p3 + d*p4)) with
+    p1=v2, p2=v3-v1, p3=2v1-2v2+v3-v4, p4=-v1+v2-v3+v4 (pinned
+    empirically against Image.transform(..., BICUBIC) with delta
+    images; max error vs PIL is the uint8 rounding bit)."""
+    w1 = d * (-1.0 + d * (2.0 - d))
+    w2 = 1.0 + d * d * (-2.0 + d)
+    w3 = d * (1.0 + d * (1.0 - d))
+    w4 = d * d * (-1.0 + d)
+    return (w1, w2, w3, w4)
+
+
+def _affine_sample(clip, a, b, c, d, e, f, interp=None):
     """PIL ``Image.transform(AFFINE, (a,b,c,d,e,f))`` semantics.
 
     PIL maps the CENTER of output pixel (x, y): src = M @ (x+0.5, y+0.5),
-    then its bilinear filter samples at src - 0.5 (Geometry.c). Net:
+    then its filter samples at src - 0.5 (Geometry.c). Net:
     sx = a*x + b*y + (c + 0.5*(a+b) - 0.5). Identity stays identity; the
     half-pixel term is what makes shear/translate match PIL exactly
-    (verified per-op in test_randaugment's PIL-oracle parity tests)."""
+    (verified per-op in test_randaugment's PIL-oracle parity tests).
+
+    ``interp``: None -> bilinear (static). Otherwise a traced {0, 1}
+    scalar choosing bilinear (0) or bicubic (1) per call — the reference
+    samples the resample filter per op from (BILINEAR, BICUBIC)
+    (reference src/datasets/utils/video/randaugment.py:34,48
+    _RANDOM_INTERPOLATION). The bicubic path is PIL's Geometry.c cubic
+    (taps floor(s)-1..+2, edge taps clamped); its validity window is
+    PIL's generic-transform one, 0 <= a(x+.5)+b(y+.5)+c < w per axis,
+    which is TIGHTER than the bilinear fast path's."""
     t, h, w, ch = clip.shape
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -164,10 +189,33 @@ def _affine_sample(clip, a, b, c, d, e, f):
         out = top * (1 - wy)[..., None] + bot * wy[..., None]
         return jnp.where(valid[..., None], out, _FILL)
 
-    return jax.vmap(warp_frame)(clip)
+    bl = jax.vmap(warp_frame)(clip)
+    if interp is None:
+        return bl
+
+    # PIL center-of-pixel source coords (== sx + 0.5 algebraically)
+    xin = sx + 0.5
+    yin = sy + 0.5
+    valid_bc = (xin >= 0) & (xin < w) & (yin >= 0) & (yin < h)
+    wxs = _cubic_weights(wx)
+    wys = _cubic_weights(wy)
+    xti = [jnp.clip(x0.astype(jnp.int32) - 1 + i, 0, w - 1) for i in range(4)]
+    yti = [jnp.clip(y0.astype(jnp.int32) - 1 + j, 0, h - 1) for j in range(4)]
+
+    def warp_frame_bicubic(fr):
+        out = 0.0
+        for i in range(4):
+            row = 0.0
+            for j in range(4):
+                row = row + wys[j][..., None] * fr[yti[j], xti[i]]
+            out = out + wxs[i][..., None] * row
+        return jnp.where(valid_bc[..., None], out, _FILL)
+
+    bc = jax.vmap(warp_frame_bicubic)(clip)
+    return jnp.where(jnp.asarray(interp, jnp.bool_), bc, bl)
 
 
-def op_rotate(clip, m, sign):
+def op_rotate(clip, m, sign, interp=None):
     # PIL img.rotate(deg) == transform(AFFINE) about center (w/2, h/2)
     # with angle = -radians(deg) (reference randaugment.py:95-125); under
     # _affine_sample's half-pixel convention the effective sampling center
@@ -181,42 +229,44 @@ def op_rotate(clip, m, sign):
     d, e = sin, cos
     c = cx - a * cx - b * cy
     f = cy - d * cx - e * cy
-    return _affine_sample(clip, a, b, c, d, e, f)
+    return _affine_sample(clip, a, b, c, d, e, f, interp)
 
 
-def op_shear_x(clip, m, sign):
+def op_shear_x(clip, m, sign, interp=None):
     s = sign * m / 10.0 * 0.3
-    return _affine_sample(clip, 1.0, s, 0.0, 0.0, 1.0, 0.0)
+    return _affine_sample(clip, 1.0, s, 0.0, 0.0, 1.0, 0.0, interp)
 
 
-def op_shear_y(clip, m, sign):
+def op_shear_y(clip, m, sign, interp=None):
     s = sign * m / 10.0 * 0.3
-    return _affine_sample(clip, 1.0, 0.0, 0.0, s, 1.0, 0.0)
+    return _affine_sample(clip, 1.0, 0.0, 0.0, s, 1.0, 0.0, interp)
 
 
-def op_translate_x(clip, m, sign):
+def op_translate_x(clip, m, sign, interp=None):
     t = sign * m / 10.0 * 0.45 * clip.shape[2]
-    return _affine_sample(clip, 1.0, 0.0, t, 0.0, 1.0, 0.0)
+    return _affine_sample(clip, 1.0, 0.0, t, 0.0, 1.0, 0.0, interp)
 
 
-def op_translate_y(clip, m, sign):
+def op_translate_y(clip, m, sign, interp=None):
     t = sign * m / 10.0 * 0.45 * clip.shape[1]
-    return _affine_sample(clip, 1.0, 0.0, 0.0, 0.0, 1.0, t)
+    return _affine_sample(clip, 1.0, 0.0, 0.0, 0.0, 1.0, t, interp)
 
 
-# signed ops consume a random direction; unsigned ignore it
+# signed ops consume a random direction; unsigned ignore it. Geometric ops
+# additionally consume a random resample-filter choice (bilinear|bicubic,
+# reference randaugment.py:34,48 _RANDOM_INTERPOLATION).
 _OPS = [
-    ("AutoContrast", lambda c, m, s: op_autocontrast(c, m)),
-    ("Equalize", lambda c, m, s: op_equalize(c, m)),
-    ("Invert", lambda c, m, s: op_invert(c, m)),
+    ("AutoContrast", lambda c, m, s, i: op_autocontrast(c, m)),
+    ("Equalize", lambda c, m, s, i: op_equalize(c, m)),
+    ("Invert", lambda c, m, s, i: op_invert(c, m)),
     ("Rotate", op_rotate),
-    ("Posterize", lambda c, m, s: op_posterize(c, m)),
-    ("Solarize", lambda c, m, s: op_solarize(c, m)),
-    ("SolarizeAdd", lambda c, m, s: op_solarize_add(c, m)),
-    ("Color", op_color),
-    ("Contrast", op_contrast),
-    ("Brightness", op_brightness),
-    ("Sharpness", op_sharpness),
+    ("Posterize", lambda c, m, s, i: op_posterize(c, m)),
+    ("Solarize", lambda c, m, s, i: op_solarize(c, m)),
+    ("SolarizeAdd", lambda c, m, s, i: op_solarize_add(c, m)),
+    ("Color", lambda c, m, s, i: op_color(c, m, s)),
+    ("Contrast", lambda c, m, s, i: op_contrast(c, m, s)),
+    ("Brightness", lambda c, m, s, i: op_brightness(c, m, s)),
+    ("Sharpness", lambda c, m, s, i: op_sharpness(c, m, s)),
     ("ShearX", op_shear_x),
     ("ShearY", op_shear_y),
     ("TranslateX", op_translate_x),
@@ -257,12 +307,15 @@ def randaugment_clip(rng, clip, cfg: RandAugmentCfg):
     def layer(i, carry):
         clip = carry
         k = jax.random.fold_in(rng, i)
-        k_op, k_apply, k_mag, k_sign = jax.random.split(k, 4)
+        k_op, k_apply, k_mag, k_sign, k_interp = jax.random.split(k, 5)
         op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
         mag = cfg.magnitude + cfg.mstd * jax.random.normal(k_mag)
         mag = jnp.clip(mag, 0.0, 10.0)
         sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
-        branches = [partial(lambda c, f: f(c, mag, sign), f=fn) for _, fn in _OPS]
+        interp = jax.random.bernoulli(k_interp)  # 0=bilinear 1=bicubic
+        branches = [
+            partial(lambda c, f: f(c, mag, sign, interp), f=fn) for _, fn in _OPS
+        ]
         out = jax.lax.switch(op_idx, branches, clip)
         apply = jax.random.bernoulli(k_apply, cfg.prob)
         return jnp.where(apply, jnp.clip(out, 0.0, 255.0), clip)
@@ -344,7 +397,7 @@ def _smooth(clip):
     return jnp.where(interior, sm, clip)
 
 
-def _rotate_deg(clip, deg):
+def _rotate_deg(clip, deg, interp=None):
     # PIL center convention — see op_rotate
     rad = jnp.deg2rad(deg)
     t, h, w, _ = clip.shape
@@ -354,10 +407,10 @@ def _rotate_deg(clip, deg):
     d, e = sin, cos
     c = cx - a * cx - b * cy
     f = cy - d * cx - e * cy
-    return _affine_sample(clip, a, b, c, d, e, f)
+    return _affine_sample(clip, a, b, c, d, e, f, interp)
 
 
-def _aa_apply(name: str, level: float, clip, sign):
+def _aa_apply(name: str, level: float, clip, sign, interp=None):
     """One 'original'-policy op with its level resolved to the final arg."""
     l10 = level / 10.0
     if name == "PosterizeOriginal":
@@ -365,9 +418,11 @@ def _aa_apply(name: str, level: float, clip, sign):
     if name == "Solarize":
         return _solarize_at(clip, float(int(l10 * 256)))
     if name == "Rotate":
-        return _rotate_deg(clip, sign * (l10 * 30.0))
+        return _rotate_deg(clip, sign * (l10 * 30.0), interp)
     if name == "ShearX":
-        return _affine_sample(clip, 1.0, sign * (l10 * 0.3), 0.0, 0.0, 1.0, 0.0)
+        return _affine_sample(
+            clip, 1.0, sign * (l10 * 0.3), 0.0, 0.0, 1.0, 0.0, interp
+        )
     if name == "AutoContrast":
         return op_autocontrast(clip, 0.0)
     if name == "Equalize":
@@ -394,9 +449,12 @@ def autoaugment_original_clip(rng, clip):
         def branch(clip):
             for j, (name, prob, level) in enumerate(entries):
                 k = jax.random.fold_in(k_ops, j)
-                k_apply, k_sign = jax.random.split(k)
+                k_apply, k_sign, k_interp = jax.random.split(k, 3)
                 sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
-                out = jnp.clip(_aa_apply(name, float(level), clip, sign), 0.0, 255.0)
+                interp = jax.random.bernoulli(k_interp)
+                out = jnp.clip(
+                    _aa_apply(name, float(level), clip, sign, interp), 0.0, 255.0
+                )
                 gate = jax.random.bernoulli(k_apply, prob)
                 clip = jnp.where(gate, out, clip)
             return clip

@@ -234,20 +234,58 @@ def test_geometric_ops_match_pil_bilinear():
         assert frac_off < 0.03, (name, frac_off, float(delta.max()))
 
 
-def test_geometric_bicubic_delta_is_bounded():
-    """The reference samples BILINEAR or BICUBIC per-op at random
-    (_RANDOM_INTERPOLATION, reference randaugment.py:34,48); the device op
-    is always bilinear. Record the bicubic-vs-bilinear envelope so the
-    approximation is quantified, not hand-waved: bicubic sharpens by a few
-    intensity levels on natural images."""
+def test_geometric_ops_match_pil_bicubic():
+    """VERDICT round-3 item 7: the reference samples BILINEAR or BICUBIC
+    per-op at random (_RANDOM_INTERPOLATION, reference randaugment.py:34,48);
+    the device warps now implement both. The bicubic path is PIL's
+    Geometry.c cubic (taps floor(s)-1..+2, clamped edges) under the
+    generic-transform validity window, so with interp=1 every geometric op
+    must agree with PIL BICUBIC up to uint8 rounding — a probe across
+    shear/translate/rotate measured max |delta| == 1 after rounding (no
+    fill-seam band at all: the bicubic validity window is exact, unlike
+    the bilinear fast path's fixed-point seam)."""
     img = _img(11, h=40, w=56)
     clip = _as_clip(img)
-    got = np.asarray(op_rotate(clip, 9.0, 1.0))[0]
-    want = np.asarray(Image.fromarray(img).rotate(
-        27.0, resample=Image.BICUBIC, fillcolor=(128, 128, 128)), np.float32)
-    delta = np.abs(got - want)
-    # random uint8 noise imgs are the worst case for bicubic overshoot
-    # (measured mean ~14.8 on this fixture; natural images sit far lower);
-    # the fill/content geometry must still agree
-    assert float(np.mean(delta)) < 18.0, float(np.mean(delta))
-    assert float(np.mean(delta > 64)) < 0.02
+
+    cases = []
+    for m in (3.0, 9.0):
+        for sign in (1.0, -1.0):
+            s = sign * m / 10.0 * 0.3
+            tx = sign * m / 10.0 * 0.45 * img.shape[1]
+            ty = sign * m / 10.0 * 0.45 * img.shape[0]
+            cases += [
+                (f"shear_x m{m} s{sign}", op_shear_x(clip, m, sign, 1),
+                 _pil_affine(img, (1, s, 0, 0, 1, 0), Image.BICUBIC)),
+                (f"shear_y m{m} s{sign}", op_shear_y(clip, m, sign, 1),
+                 _pil_affine(img, (1, 0, 0, s, 1, 0), Image.BICUBIC)),
+                (f"translate_x m{m} s{sign}", op_translate_x(clip, m, sign, 1),
+                 _pil_affine(img, (1, 0, tx, 0, 1, 0), Image.BICUBIC)),
+                (f"translate_y m{m} s{sign}", op_translate_y(clip, m, sign, 1),
+                 _pil_affine(img, (1, 0, 0, 0, 1, ty), Image.BICUBIC)),
+                (f"rotate m{m} s{sign}",
+                 op_rotate(clip, m, sign, 1),
+                 np.asarray(Image.fromarray(img).rotate(
+                     sign * m / 10.0 * 30.0, resample=Image.BICUBIC,
+                     fillcolor=(128, 128, 128)), dtype=np.float32)),
+            ]
+    for name, got, want in cases:
+        # PIL clamps the cubic overshoot into uint8; mirror that before
+        # comparing (the float device output legitimately over/undershoots)
+        got = np.clip(np.round(np.asarray(got)[0]), 0, 255)
+        delta = np.abs(got - want)
+        assert float(np.median(delta)) <= 1.0, (name, float(np.median(delta)))
+        assert float(np.mean(delta)) < 0.8, (name, float(np.mean(delta)))
+        # float32 tap-boundary wobble allowance on top of the measured
+        # max==1 float64 envelope
+        frac_off = float(np.mean(delta > 1.5))
+        assert frac_off < 0.01, (name, frac_off, float(delta.max()))
+
+
+def test_interp_zero_matches_bilinear_path():
+    """interp=0 through the dual-filter warp must be bit-identical to the
+    static bilinear path (interp=None)."""
+    img = _img(5, h=24, w=32)
+    clip = _as_clip(img)
+    a = np.asarray(op_rotate(clip, 7.0, -1.0))
+    b = np.asarray(op_rotate(clip, 7.0, -1.0, 0))
+    np.testing.assert_array_equal(a, b)
