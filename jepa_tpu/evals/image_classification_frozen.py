@@ -6,11 +6,12 @@ path: the reference registers a forward-pre-hook replicating each image
 frames_per_clip times on the time axis (reference eval.py:452-457); here
 that's an explicit tiling function feeding the same video ViT forward.
 
-Train transform: random-resized crop + hflip + normalize + random erasing
-on device over host-decoded fixed-canvas uint8 images (the reference uses
-timm auto-augment 'original'; photometric AA policy lands with the device
-RandAugment module). Val: resize(256/224 * res) + center-crop, per
-reference eval.py:405-409.
+Train transform: random-resized crop + hflip + the device AutoAugment
+'original' policy (data.auto_augment, on by default — the reference uses
+timm create_transform(auto_augment='original'), eval.py:394-403; see
+data/randaugment.py:_AA_ORIGINAL_POLICY) + normalize + random erasing,
+all on device over host-decoded fixed-canvas uint8 images. Val:
+resize(256/224 * res) + center-crop, per reference eval.py:405-409.
 """
 
 from __future__ import annotations

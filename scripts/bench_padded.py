@@ -51,7 +51,11 @@ def main():
         ipe=300, num_epochs=300, warmup_epochs=40, start_lr=2e-4, ref_lr=6.25e-4,
         final_lr=1e-6, wd=0.04, final_wd=0.4, ema=(0.998, 1.0), ipe_scale=1.25,
     )
-    state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg)
+    # per-layer block state, same default as bench.py's fixed-mode headline
+    # (JEPA_UNROLL_GRADS=0 restores the stacked scan layout for A/B)
+    unroll_blocks = os.environ.get("JEPA_UNROLL_GRADS", "2") == "2"
+    state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg,
+                                     unroll_blocks=unroll_blocks)
     tc = TrainCfg(num_clips=1, batch_size=batch, mask_mode="padded",
                   clip_grad=10.0, clip_after_step=0, seed=0)
     fn = jax.jit(

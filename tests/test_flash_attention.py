@@ -197,6 +197,45 @@ def test_tm_chunked_kv_matches_one_shot(monkeypatch):
     jax.clear_caches()
 
 
+def test_save_qkv_remat_matches_default(monkeypatch):
+    """JEPA_REMAT_SAVE_QKV=1 moves the qkv projection OUTSIDE the flash
+    custom_vjp and saves its named output across the remat boundary (the
+    backward consumes saved qkv instead of recomputing LN1+projection).
+    Same math, different autodiff factorization — loss and all grads must
+    match the default path through remat='attn' blocks."""
+    from jepa_tpu.models.transformer import BlockCfg, init_block_stack, run_blocks
+
+    depth = 2
+    cfg = BlockCfg(dim=128, num_heads=4, mlp_hidden=256,
+                   compute_dtype=jnp.float32, attn_impl="flash")
+    params = init_block_stack(jax.random.PRNGKey(5), depth, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 149, 128), jnp.float32)
+    mask = jnp.asarray(np.arange(149)[None, :].repeat(2, 0) < 120)
+
+    def run(kv_mask):
+        def loss(p, x):
+            out, _ = run_blocks(x, p, cfg, kv_mask=kv_mask, remat="attn")
+            return jnp.sum(jnp.sin(out))
+
+        return jax.value_and_grad(loss)(params, x)
+
+    for kv_mask in (None, mask):
+        monkeypatch.delenv("JEPA_REMAT_SAVE_QKV", raising=False)
+        jax.clear_caches()
+        l_ref, g_ref = run(kv_mask)
+        monkeypatch.setenv("JEPA_REMAT_SAVE_QKV", "1")
+        jax.clear_caches()  # the env knob is read at trace time
+        l_sq, g_sq = run(kv_mask)
+        np.testing.assert_allclose(float(l_sq), float(l_ref), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_sq), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5,
+                err_msg=f"save-qkv grad mismatch (mask={kv_mask is not None})",
+            )
+    monkeypatch.delenv("JEPA_REMAT_SAVE_QKV", raising=False)
+    jax.clear_caches()
+
+
 def test_tm_no_max_matches_row_max(monkeypatch):
     """The static-shift softmax (JEPA_TM_NO_MAX=1) drops the per-row max
     pass; subtracting any constant is exact softmax math, so outputs, lse
