@@ -166,9 +166,10 @@ def _save_flash_residuals(prim, *_, **params):
     custom_vjp forwards (the Pallas flash-attention kernels) so the backward
     pass never re-runs the forward kernel — only LN/matmul/MLP recompute.
     ~22-34MB/layer at production shapes vs re-running the VPU-bound kernel.
-    With JEPA_REMAT_SAVE_QKV=1, also save the named qkv projection outputs
-    (ops.flash_attention "qkv_out"): the backward then skips the per-layer
-    LN1 + projection recompute entirely (more HBM for less recompute)."""
+    By default (JEPA_REMAT_SAVE_QKV, see ops.flash_attention._remat_save_qkv)
+    also save the named qkv projection outputs ("qkv_out"): the backward then
+    skips the per-layer LN1 + projection recompute entirely (more HBM for
+    less recompute; 698.7 -> 679.0 ms/step at ViT-L b24, BENCH.md round 4)."""
     if prim.name == "remat_opt":
         return True
     if prim.name == "name" and params.get("name") == "qkv_out":

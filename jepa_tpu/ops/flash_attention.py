@@ -1161,13 +1161,14 @@ _flash_tm_masked.defvjp(_flash_tm_masked_fwd, _flash_tm_masked_bwd,
                         optimize_remat=True)
 
 
-# Save-qkv variants (JEPA_REMAT_SAVE_QKV=1): the projection runs OUTSIDE the
-# custom_vjp as a plain matmul whose output is checkpoint_name'd "qkv_out";
-# with the matching remat policy the backward consumes the SAVED qkv instead
-# of recomputing LN1 + the projection per layer (~12 ms/step at ViT-L b24
-# for ~3.7 GB extra HBM — BENCH.md round 4). Projection grads (dx, dw, db)
-# fall out of XLA autodiff of the matmul; the kernel bwd returns one
-# token-major dqkv so the matmul's transpose consumes it directly.
+# Save-qkv variants (default; JEPA_REMAT_SAVE_QKV=0 opts out): the projection
+# runs OUTSIDE the custom_vjp as a plain matmul whose output is
+# checkpoint_name'd "qkv_out"; with the matching remat policy the backward
+# consumes the SAVED qkv instead of recomputing LN1 + the projection per
+# layer (~20 ms/step at ViT-L b24 for ~3.7 GB extra HBM — BENCH.md round 4).
+# Projection grads (dx, dw, db) fall out of XLA autodiff of the matmul; the
+# kernel bwd returns one token-major dqkv so the matmul's transpose consumes
+# it directly.
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -1213,11 +1214,16 @@ _flash_tm_qkv_masked.defvjp(_flash_tm_qkv_masked_fwd, _flash_tm_qkv_masked_bwd,
 
 
 def _remat_save_qkv() -> bool:
-    """Opt-in: save the qkv projection output across the remat boundary
-    instead of recomputing it in the backward (see variants above)."""
+    """Save the qkv projection output across the remat boundary instead of
+    recomputing it in the backward (see variants above). Default ON: exact
+    (same math, different autodiff factorization — parity test
+    tests/test_flash_attention.py::test_save_qkv_remat_matches_default) and
+    measured 698.7 -> 679.0 ms/step on the fused ViT-L b24 pretrain step
+    (46.1% MFU, BENCH.md round 4) for ~3.7 GB extra HBM at that shape.
+    JEPA_REMAT_SAVE_QKV=0 restores the recompute-qkv path (less HBM)."""
     import os
 
-    return os.environ.get("JEPA_REMAT_SAVE_QKV", "0") == "1"
+    return os.environ.get("JEPA_REMAT_SAVE_QKV", "1") == "1"
 
 
 def flash_self_attention(

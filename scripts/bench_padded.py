@@ -58,10 +58,16 @@ def main():
                                      unroll_blocks=unroll_blocks)
     tc = TrainCfg(num_clips=1, batch_size=batch, mask_mode="padded",
                   clip_grad=10.0, clip_after_step=0, seed=0)
+    # JEPA_PADDED_DONATE=0: skip state donation. The axon client panics
+    # (client.rs:2008 index==len, rc=134) when two executables (the two pad
+    # tiers) alternate over donated state buffers — donation is a memory
+    # optimization, not a speed one, so the undonated measurement is
+    # timing-faithful. Real TPU VMs don't have this client.
+    donate = os.environ.get("JEPA_PADDED_DONATE", "1") == "1"
     fn = jax.jit(
         build_train_step(enc_cfg, pred_cfg, consts, tc, lr_s, wd_s, mom_s,
                          specs, grid, [(0, 0)] * len(specs)),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
     )
     collator = MaskCollator(specs, grid, seed=0)
     clips = jax.random.normal(jax.random.PRNGKey(1), (batch, 16, 224, 224, 3),

@@ -15,13 +15,16 @@ ever compiled that geometry. This script proves it on the real chip:
      attentive probe), i.e. the vith16_384 K400 16x8x3 protocol's compute
      shape at smaller S.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_vith_384.py
+Run: python scripts/bench_vith_384.py (from anywhere; repo root self-added)
 """
 
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 

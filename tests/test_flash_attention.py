@@ -220,7 +220,9 @@ def test_save_qkv_remat_matches_default(monkeypatch):
         return jax.value_and_grad(loss)(params, x)
 
     for kv_mask in (None, mask):
-        monkeypatch.delenv("JEPA_REMAT_SAVE_QKV", raising=False)
+        # explicit '0': save-qkv is the DEFAULT, so delenv would compare
+        # the save-qkv path to itself (vacuous)
+        monkeypatch.setenv("JEPA_REMAT_SAVE_QKV", "0")
         jax.clear_caches()
         l_ref, g_ref = run(kv_mask)
         monkeypatch.setenv("JEPA_REMAT_SAVE_QKV", "1")
