@@ -103,6 +103,11 @@ def mlp(x, p, cfg: BlockCfg):
         h = linear_gelu(x.astype(cd), p["fc1_w"].astype(cd), p["fc1_b"])
     else:
         h = linear(x, {"w": p["fc1_w"], "b": p["fc1_b"]}, cd)
+        # named pre-activation for the selective remat policy: saving it
+        # (JEPA_REMAT_SAVE_FC1) lets the backward recompute only the cheap
+        # VPU gelu instead of the fc1 matmul (dgelu needs the PRE-activation,
+        # so this is the tensor that kills the matmul recompute)
+        h = jax.ad_checkpoint.checkpoint_name(h, "fc1_out")
         if cd == jnp.bfloat16 and _fast_gelu_enabled():
             # exp2-erfc gelu (ops/fused_mlp._gelu_fast): bf16-exact values,
             # derivative within 1.4e-6 of exact, and a division-free VPU
@@ -176,6 +181,23 @@ def _save_flash_residuals(prim, *_, **params):
         from jepa_tpu.ops.flash_attention import _remat_save_qkv
 
         return _remat_save_qkv()
+    if prim.name == "name" and params.get("name") == "attn_out":
+        # post-proj attention output: one matmul away from saved o, so
+        # saving it only pays when trading ~[B,N,D] bf16/layer of HBM for
+        # the out-proj + residual recompute is a measured win (A/B knob)
+        import os
+
+        return os.environ.get("JEPA_REMAT_SAVE_ATTN_OUT", "0") == "1"
+    if prim.name == "name" and params.get("name") == "fc1_out":
+        # fc1 pre-activation: saving it removes the fc1 matmul from the
+        # backward recompute (gelu re-runs on the VPU from the saved
+        # tensor) for ~[B,N,4D] bf16/layer of HBM. Default ON: measured
+        # 678.8 -> 666.5 ms/step at ViT-L b24 (round-4 on-chip A/B,
+        # scripts/bench_r4_remat_ab.py); combining with attn_out was
+        # WORSE than fc1 alone (672.8), so that knob stays opt-in.
+        import os
+
+        return os.environ.get("JEPA_REMAT_SAVE_FC1", "1") == "1"
     return False
 
 

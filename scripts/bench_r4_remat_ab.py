@@ -1,0 +1,58 @@
+"""On-chip A/B of the round-4 selective-remat save knobs on the fused step.
+
+Each variant runs bench.py in a FRESH subprocess (env knobs are read at
+trace time; fresh processes keep the axon client state clean) and parses
+its JSON line. Baseline = current defaults (save-qkv ON, per-layer state).
+
+Run: python scripts/bench_r4_remat_ab.py   (from the repo root, keep axon)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VARIANTS = [
+    ("base", {}),
+    ("+attn_out", {"JEPA_REMAT_SAVE_ATTN_OUT": "1"}),
+    ("+fc1", {"JEPA_REMAT_SAVE_FC1": "1"}),
+    ("+attn_out+fc1", {"JEPA_REMAT_SAVE_ATTN_OUT": "1",
+                       "JEPA_REMAT_SAVE_FC1": "1"}),
+]
+
+
+def main():
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    results = {}
+    for name, knobs in VARIANTS:
+        if only and name not in only:
+            continue
+        env = dict(os.environ, **knobs)
+        p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           capture_output=True, text=True, timeout=1800,
+                           cwd=REPO, env=env)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not line:
+            print(f"{name:16s} FAILED rc={p.returncode}\n{p.stderr[-1500:]}",
+                  flush=True)
+            continue
+        d = json.loads(line[-1])
+        ms = d["detail"]["step_ms"]
+        results[name] = ms
+        print(f"{name:16s} {ms:7.1f} ms  ({d['value']} clips/s, "
+              f"mfu {d['detail']['mfu']})", flush=True)
+    if "base" in results:
+        for name, ms in results.items():
+            if name != "base":
+                print(f"{name}: {results['base'] - ms:+.1f} ms vs base",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

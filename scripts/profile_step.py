@@ -48,7 +48,8 @@ def build_step():
     )
     # JEPA_UNROLL_GRADS: "1" = per-layer grads w/ restack, "2" = fully
     # per-layer train state (zero stacking; see train/step.py)
-    unroll_state = os.environ.get("JEPA_UNROLL_GRADS") == "2"
+    # default "2" = fully per-layer train state, matching bench.py's default
+    unroll_state = os.environ.get("JEPA_UNROLL_GRADS", "2") == "2"
     state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg,
                                      unroll_blocks=unroll_state)
     tc = TrainCfg(num_clips=1, batch_size=24, mask_mode="fixed",

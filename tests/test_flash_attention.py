@@ -238,6 +238,47 @@ def test_save_qkv_remat_matches_default(monkeypatch):
     jax.clear_caches()
 
 
+def test_save_fc1_attn_out_remat_match_default(monkeypatch):
+    """JEPA_REMAT_SAVE_FC1 (default ON since round 4: 678.8 -> 666.5
+    ms/step on chip) and JEPA_REMAT_SAVE_ATTN_OUT (opt-in) save named
+    intermediates across the remat boundary — pure autodiff-factorization
+    changes, so loss and every grad must match the save-nothing policy."""
+    from jepa_tpu.models.transformer import BlockCfg, init_block_stack, run_blocks
+
+    depth = 2
+    cfg = BlockCfg(dim=128, num_heads=4, mlp_hidden=256,
+                   compute_dtype=jnp.float32, attn_impl="flash")
+    params = init_block_stack(jax.random.PRNGKey(7), depth, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 149, 128), jnp.float32)
+
+    def run():
+        def loss(p, x):
+            out, _ = run_blocks(x, p, cfg, remat="attn")
+            return jnp.sum(jnp.sin(out))
+
+        return jax.value_and_grad(loss)(params, x)
+
+    # reference: both knobs explicitly OFF (fc1 defaults to '1')
+    monkeypatch.setenv("JEPA_REMAT_SAVE_FC1", "0")
+    monkeypatch.setenv("JEPA_REMAT_SAVE_ATTN_OUT", "0")
+    jax.clear_caches()
+    l_ref, g_ref = run()
+    for fc1, attn_out in (("1", "0"), ("0", "1"), ("1", "1")):
+        monkeypatch.setenv("JEPA_REMAT_SAVE_FC1", fc1)
+        monkeypatch.setenv("JEPA_REMAT_SAVE_ATTN_OUT", attn_out)
+        jax.clear_caches()  # the env knobs are read at trace time
+        l_k, g_k = run()
+        np.testing.assert_allclose(float(l_k), float(l_ref), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5,
+                err_msg=f"remat-save grad mismatch (fc1={fc1} ao={attn_out})",
+            )
+    for knob in ("JEPA_REMAT_SAVE_FC1", "JEPA_REMAT_SAVE_ATTN_OUT"):
+        monkeypatch.delenv(knob, raising=False)
+    jax.clear_caches()
+
+
 def test_tm_no_max_matches_row_max(monkeypatch):
     """The static-shift softmax (JEPA_TM_NO_MAX=1) drops the per-row max
     pass; subtracting any constant is exact softmax math, so outputs, lse
