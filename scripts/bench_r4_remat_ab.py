@@ -16,12 +16,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# save-fc1 became the committed default after this sweep (678.8 / 676.5 /
+# 666.5 / 672.8 ms, BENCH.md round 4) — variants are now expressed relative
+# to the defaults so the sweep stays meaningful (the r3 ADVICE lesson):
+# "base" = shipped defaults (fc1 ON), "-fc1" turns it off, "+attn_out"
+# adds the opt-in knob on top of the defaults.
 VARIANTS = [
     ("base", {}),
+    ("-fc1", {"JEPA_REMAT_SAVE_FC1": "0"}),
     ("+attn_out", {"JEPA_REMAT_SAVE_ATTN_OUT": "1"}),
-    ("+fc1", {"JEPA_REMAT_SAVE_FC1": "1"}),
-    ("+attn_out+fc1", {"JEPA_REMAT_SAVE_ATTN_OUT": "1",
-                       "JEPA_REMAT_SAVE_FC1": "1"}),
+    ("+attn_out-fc1", {"JEPA_REMAT_SAVE_ATTN_OUT": "1",
+                       "JEPA_REMAT_SAVE_FC1": "0"}),
 ]
 
 
