@@ -9,10 +9,12 @@ erasing — is ONE jitted, vmapped program on device, overlapping the
 previous step's compute via async dispatch.
 
 Capability parity:
-  * random_resized_crop: per-sample box from (scale, ratio) with the
-    standard 10-try log-uniform area sampling collapsed to a single
-    analytic draw (log-uniform ratio, uniform area), bilinear resample
-    (reference transforms.py:545-577, _get_param_spatial_crop :503-542)
+  * random_resized_crop: per-sample box from (scale, ratio) via the
+    reference's 10-try rejection loop (uniform area x log-uniform ratio,
+    accept if the box fits, center-crop fallback) run branchlessly in-jit
+    (10 fixed candidate draws, first-accept select), bilinear resample —
+    KS-tested against the torch sampler (reference transforms.py:545-577,
+    _get_param_spatial_crop :503-542)
   * motion-shift: boxes sampled at the first/last frame and linearly
     interpolated per frame (reference transforms.py:580-622)
   * horizontal_flip with p=0.5 (reference transforms.py:160)

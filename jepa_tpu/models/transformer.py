@@ -106,7 +106,10 @@ def mlp(x, p, cfg: BlockCfg):
         # named pre-activation for the selective remat policy: saving it
         # (JEPA_REMAT_SAVE_FC1) lets the backward recompute only the cheap
         # VPU gelu instead of the fc1 matmul (dgelu needs the PRE-activation,
-        # so this is the tensor that kills the matmul recompute)
+        # so this is the tensor that kills the matmul recompute).
+        # NOTE the fused branch above intentionally has no such name: the
+        # fused kernel is grad-free-only (BlockCfg.fused_mlp docstring), so
+        # a grad-path fused_mlp would silently lose the save-fc1 win.
         h = jax.ad_checkpoint.checkpoint_name(h, "fc1_out")
         if cd == jnp.bfloat16 and _fast_gelu_enabled():
             # exp2-erfc gelu (ops/fused_mlp._gelu_fast): bf16-exact values,
@@ -275,8 +278,9 @@ def run_blocks(x, stacked, cfg: BlockCfg, kv_mask=None, collect_layers=False,
     # prevent_cse=False is safe (and recommended) under scan and measured
     # ~7% faster f+b on-chip than the default CSE barrier.
     if remat == "attn":
-        # Save ONLY the flash kernels' (o, lse): the post-proj attn_out is
-        # one matmul away from saved o, so naming it too just burns HBM.
+        # Selective-save policy (see _save_flash_residuals): flash (o, lse)
+        # always; qkv_out and fc1_out saved by default (measured wins,
+        # BENCH.md round 4); attn_out only via JEPA_REMAT_SAVE_ATTN_OUT.
         body = jax.checkpoint(body, prevent_cse=False, policy=_save_flash_residuals)
     elif remat:
         body = jax.checkpoint(body, prevent_cse=False)

@@ -152,6 +152,8 @@ def main():
             sys.stderr.write(p.stderr[-2000:])
             raise SystemExit(f"tier {t} subprocess failed rc={p.returncode}")
         mt = re.search(r"TIER %d ms ([0-9.]+)" % t, p.stdout)
+        if mt is None:
+            raise SystemExit(f"tier {t}: no 'TIER {t} ms' line in output")
         ms.append(float(mt.group(1)))
 
     blended = sum(r * m for r, m in zip(rates, ms))

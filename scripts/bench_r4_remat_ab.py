@@ -55,8 +55,8 @@ def main():
     if "base" in results:
         for name, ms in results.items():
             if name != "base":
-                print(f"{name}: {results['base'] - ms:+.1f} ms vs base",
-                      flush=True)
+                print(f"{name}: {results['base'] - ms:+.1f} ms saved vs base "
+                      f"(positive = faster)", flush=True)
 
 
 if __name__ == "__main__":
