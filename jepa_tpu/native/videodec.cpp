@@ -220,11 +220,13 @@ void jdec_close(void* handle) {
 }
 
 // ---------------------------------------------------------------------------
-// Test-fixture encoder: deterministic moving-gradient mpeg4 video.
+// Encoders: arbitrary RGB24 frames -> mpeg4 (fixture generation / dataset
+// synthesis), plus the deterministic moving-gradient test video built on it.
 // ---------------------------------------------------------------------------
 
-int jdec_encode_test_video(const char* path, int num_frames, int w, int h,
-                           double fps, int seed) {
+// data: packed RGB24 frames [num_frames, h, w, 3], row-major.
+int jdec_encode_frames(const char* path, const uint8_t* data, int num_frames,
+                       int w, int h, double fps) {
   AVFormatContext* fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
@@ -244,6 +246,7 @@ int jdec_encode_test_video(const char* path, int num_frames, int w, int h,
   if (avcodec_open2(c, enc, nullptr) < 0) return -3;
   avcodec_parameters_from_context(st->codecpar, c);
   st->time_base = c->time_base;
+  st->avg_frame_rate = c->framerate;
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
     if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
   }
@@ -270,6 +273,11 @@ int jdec_encode_test_video(const char* path, int num_frames, int w, int h,
       int r = avcodec_receive_packet(c, pkt);
       if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
       if (r < 0) return -7;
+      // Without an explicit per-packet duration the mp4 muxer derives the
+      // stream duration as last_pts - first_pts (one frame short), which
+      // skews avg_frame_rate for short clips (12@30fps probes as 32.7) and
+      // breaks timestamp-based random access near the tail.
+      if (pkt->duration == 0) pkt->duration = 1;
       av_packet_rescale_ts(pkt, c->time_base, st->time_base);
       pkt->stream_index = st->index;
       av_interleaved_write_frame(fmt, pkt);
@@ -279,13 +287,10 @@ int jdec_encode_test_video(const char* path, int num_frames, int w, int h,
 
   for (int t = 0; t < num_frames; ++t) {
     av_frame_make_writable(rgb);
+    const uint8_t* src = data + (size_t)t * h * w * 3;
     for (int y = 0; y < h; ++y) {
-      uint8_t* row = rgb->data[0] + y * rgb->linesize[0];
-      for (int x = 0; x < w; ++x) {
-        row[x * 3 + 0] = (uint8_t)((x + 2 * t + seed) & 0xff);
-        row[x * 3 + 1] = (uint8_t)((y + 3 * t + 2 * seed) & 0xff);
-        row[x * 3 + 2] = (uint8_t)((x + y + t) & 0xff);
-      }
+      std::memcpy(rgb->data[0] + y * rgb->linesize[0], src + (size_t)y * w * 3,
+                  (size_t)w * 3);
     }
     sws_scale(sws, rgb->data, rgb->linesize, 0, h, yuv->data, yuv->linesize);
     yuv->pts = t;
@@ -302,6 +307,23 @@ int jdec_encode_test_video(const char* path, int num_frames, int w, int h,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
+}
+
+int jdec_encode_test_video(const char* path, int num_frames, int w, int h,
+                           double fps, int seed) {
+  std::vector<uint8_t> buf((size_t)num_frames * h * w * 3);
+  for (int t = 0; t < num_frames; ++t) {
+    uint8_t* f = buf.data() + (size_t)t * h * w * 3;
+    for (int y = 0; y < h; ++y) {
+      uint8_t* row = f + (size_t)y * w * 3;
+      for (int x = 0; x < w; ++x) {
+        row[x * 3 + 0] = (uint8_t)((x + 2 * t + seed) & 0xff);
+        row[x * 3 + 1] = (uint8_t)((y + 3 * t + 2 * seed) & 0xff);
+        row[x * 3 + 2] = (uint8_t)((x + y + t) & 0xff);
+      }
+    }
+  }
+  return jdec_encode_frames(path, buf.data(), num_frames, w, h, fps);
 }
 
 }  // extern "C"

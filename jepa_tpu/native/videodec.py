@@ -57,6 +57,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_int,
         ]
+        lib.jdec_encode_frames.restype = ctypes.c_int
+        lib.jdec_encode_frames.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ]
         _LIB = lib
         return lib
 
@@ -192,6 +197,26 @@ def letterbox(frames: np.ndarray, canvas: Tuple[int, int]) -> np.ndarray:
     out = np.zeros((t, canvas[0], canvas[1], c), frames.dtype)
     out[:, :h, :w] = frames
     return out
+
+
+def write_video(path: str, frames: np.ndarray, fps: float = 30.0):
+    """Encode arbitrary RGB frames [T, H, W, 3] uint8 to an mpeg4 file.
+
+    Fixture/dataset synthesis (e.g. structure-separable class videos for
+    the representation-quality test); mpeg4 is lossy, so treat pixel values
+    as approximate after a decode round-trip.
+    """
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"frames must be [T, H, W, 3] uint8, got {frames.shape}")
+    t, h, w, _ = frames.shape
+    rc = _load().jdec_encode_frames(
+        path.encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        t, w, h, fps,
+    )
+    if rc != 0:
+        raise IOError(f"encode failed (rc={rc})")
 
 
 def write_test_video(path: str, num_frames=64, width=192, height=128,

