@@ -66,6 +66,11 @@ _LOG2E = 1.4426950408889634
 _FWD_TEMP_BUDGET = 18 * 2**20
 _BWD_TEMP_BUDGET = 11 * 2**20 + 2**19  # 11.5MB
 _MAX_NK = 8192                 # beyond this, fall back to XLA attention
+# Largest N the head-major packed bwd is trusted at: production shapes up
+# to 1568 tokens are v5e-validated; N=4608/c=80 Mosaic-crashes (round 5).
+# The token-major tiled kernels cover big N, so this gate only matters for
+# geometries with no valid tm head split.
+_PACKED_SAFE_N = 2048
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512  # kept for API compat; single-pass ignores it
 
@@ -777,6 +782,107 @@ def _pick_tm_params(heads: int, hdim: int, n: int, fwd: bool):
     return best
 
 
+def _pick_tm_tiled_params(heads: int, hdim: int, n: int,
+                          force_split: Optional[int] = None):
+    """(head_split, block) for the dual-tiled bwd kernels (bq = bk = block),
+    or None. Temps are [block, block] per head — the merged kernel's
+    compile-limit metric applies with the inner length swapped in for N, so
+    geometries far beyond the merged envelope (e.g. c=96/N=4608) fit.
+    force_split pins the head split (the custom_vjp primal and fwd rules
+    must emit the same lse shape [B, hs, N, hg], so a tiled grad-path fwd
+    paired with a one-shot primal must share its split)."""
+    hc = heads * hdim
+    n128 = _round_up(n, 128)
+    limit = _TM_COMPILE_LIMIT_BWD
+    if hdim > 64:
+        limit //= 2  # same halving as the merged picker (c=96 validated)
+    splits = [s for s in range(1, heads + 1)
+              if heads % s == 0 and (hc // s) % 128 == 0
+              and heads // s <= _TM_MAX_UNROLLED_HEADS
+              and (force_split is None or s == force_split)]
+    if not splits:
+        return None
+    blocks = []
+    for kk in range(1, 129):
+        if n128 % kk == 0 and (n128 // kk) % 8 == 0 and n128 // kk <= 256:
+            blocks.append(n128 // kk)
+    if not blocks:
+        blocks = [128]
+    for blk in blocks:  # descending: prefer the largest block
+        for s in splits:  # ascending: prefer the fewest splits
+            hg, gl = heads // s, hc // s
+            if hg * blk > _TM_MAX_HGBLK_BWD or hg * blk * blk * hdim > limit:
+                continue
+            # dkv kernel is the VMEM worst case: 4 operand blocks, 4
+            # score-sized fp32 temps (serialized per head, ~2 live), the
+            # [bk, 2*gl] fp32 accumulator, dk/dv out blocks
+            vmem = (4 * blk * gl * 2        # q, do, k, v blocks bf16
+                    + 4 * blk * blk * 4     # st/pt/dpt/dst fp32
+                    + blk * 2 * gl * 4      # dk|dv accumulator scratch
+                    + 2 * blk * gl * 2)     # dk, dv out blocks
+            if vmem > _TM_VMEM_BUDGET:
+                continue
+            return (s, blk)
+    return None
+
+
+# Mosaic double-buffers streamed operand blocks; for the ONE-SHOT fwd the
+# full-length kv planes are the dominant residents, so the true stack is
+# ~(temps + 2*kv + small blocks). The hard scoped-vmem limit is 16MB; keep
+# a margin for q/o block double-buffers.
+_TM_ONESHOT_VMEM_LIMIT = 15 * 2**20
+
+
+def _pick_tm_fwd(heads: int, hdim: int, n: int):
+    """(pf_primal, pf_grad) fwd modes, or None. Each is ('one', hs, bq)
+    — the one-shot kernel, full kv planes resident — or
+    ('tiled', hs, bq, bk) — kv-blocked static-shift accumulation.
+
+    The split exists because Mosaic's VMEM accounting differs by context
+    (measured, round 5): the one-shot kernel at N=4608/c=96 runs fine in
+    inference programs (575 ms ViT-H/384 encode, BENCH.md) but the SAME
+    kernel inside a grad program OOMs the 16M scoped-vmem stack at 18.5M
+    (double-buffered kv planes counted). jax.custom_vjp gives the
+    trace-time signal: the primal rule runs only outside differentiation
+    (→ pf_primal, one-shot whenever the validated fwd envelope allows),
+    the fwd rule only under it (→ pf_grad, one-shot only when the true
+    double-buffered footprint fits, else tiled). Both share one head
+    split so the primal and fwd rules emit identical lse shapes."""
+    p = _pick_tm_params(heads, hdim, n, fwd=True)
+    if p is not None:
+        s, blk = p
+        gl = heads * hdim // s
+        n128 = _round_up(n, 128)
+        real = (2 * blk * n128 * 4          # s, p fp32 temps
+                + 2 * (2 * n128 * gl * 2)   # k, v planes, double-buffered
+                + 4 * blk * gl * 2)         # q in / o out, double-buffered
+        one = ("one", s, blk)
+        if real <= _TM_ONESHOT_VMEM_LIMIT:
+            return (one, one)
+        t = _pick_tm_tiled_params(heads, hdim, n, force_split=s)
+        if t is not None:
+            return (one, ("tiled", t[0], t[1], t[1]))
+    t = _pick_tm_tiled_params(heads, hdim, n)
+    if t is not None:
+        tiled = ("tiled", t[0], t[1], t[1])
+        return (tiled, tiled)
+    return None
+
+
+def _pick_tm_bwd(heads: int, hdim: int, n: int):
+    """Bwd mode for the token-major path: ('merged', hs, bk) when the
+    single-pass kernel fits (one score computation for all three grads),
+    else ('tiled', hs, blk, blk) from the dual-tiled picker, else None
+    (caller falls back to head-major packed / XLA)."""
+    p = _pick_tm_params(heads, hdim, n, fwd=False)
+    if p is not None:
+        return ("merged",) + p
+    t = _pick_tm_tiled_params(heads, hdim, n)
+    if t is not None:
+        return ("tiled", t[0], t[1], t[1])
+    return None
+
+
 def _tm_kv_chunk() -> int:
     """kv-chunk size for the token-major fwd softmax pipeline (0 = one-shot).
     Env knob for on-chip A/B (`JEPA_TM_KV_CHUNK=392` etc.); default off
@@ -906,13 +1012,129 @@ def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,
     lse_ref[0, 0] = jnp.concatenate(lses, axis=1)
 
 
-def _fwd_tm(qkv, mask, meta):
+def _fwd_tm_tiled_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,
+                         nsteps, nk, block_k):
+    """kv-blocked fwd: static-shift softmax (see _TM_STATIC_SHIFT — any
+    compile-time shift is exact softmax math) lets the unnormalized o and
+    the denominator accumulate across kv blocks in VMEM scratch with NO
+    online max/rescale; one divide at the flush. Used where the one-shot
+    kernel's full-length kv planes (double-buffered by Mosaic) blow the
+    16MB VMEM stack — the vith16_384 geometry (N=4608, c=96) OOMs at
+    18.5M inside grad programs."""
+    if len(rest) == 5:
+        mask_ref, o_ref, lse_ref, acc_ref, l_ref = rest
+    else:
+        mask_ref, (o_ref, lse_ref, acc_ref, l_ref) = None, rest
+    jk = pl.program_id(3)
+    nkv = k_ref.shape[1]
+    ones = jnp.ones((nkv, 1), v_ref.dtype)
+    parts, lparts = [], []
+    for h in range(heads):
+        sl = slice(h * hdim, (h + 1) * hdim)
+        qh = (q_ref[0][:, sl].astype(jnp.float32)
+              * (scale * _LOG2E)).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            qh, k_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
+        v = v_ref[0][:, sl]
+        if nk % block_k:
+            # kv edge rows are undefined memory: mask the scores AND zero
+            # the v rows — p's zero edge columns times a NaN v row is NaN
+            s = jnp.where(_valid_cols(s.shape[0], s.shape[1], jk, block_k, nk),
+                          s, _NEG_INF)
+            vr = jk * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (v.shape[0], 1), 0) < nk
+            v = jnp.where(vr, v.astype(jnp.float32), 0).astype(v.dtype)
+        p = jnp.exp2(s - _TM_STATIC_SHIFT).astype(v_ref.dtype)
+        v_ext = jnp.concatenate([v, ones], axis=1)
+        o_l = jax.lax.dot_general(
+            p, v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, c+1]: unnormalized o | denominator
+        parts.append(o_l[:, :hdim])
+        lparts.append(o_l[:, hdim:hdim + 1])
+    o_part = jnp.concatenate(parts, axis=1)   # [bq, gl]
+    l_part = jnp.concatenate(lparts, axis=1)  # [bq, hg]
+
+    @pl.when(jk == 0)
+    def _init():
+        acc_ref[...] = o_part
+        l_ref[...] = l_part
+
+    @pl.when(jk > 0)
+    def _acc():
+        acc_ref[...] += o_part
+        l_ref[...] += l_part
+
+    @pl.when(jk == nsteps - 1)
+    def _flush():
+        l_safe = jnp.maximum(l_ref[...], 1e-30)
+        outs = [acc_ref[:, h * hdim:(h + 1) * hdim] / l_safe[:, h:h + 1]
+                for h in range(heads)]
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        lse_ref[0, 0] = _TM_STATIC_SHIFT + jnp.log2(l_safe)
+
+
+def _fwd_tm_tiled(qkv, mask, scale, heads, hdim, hs, bq, bk, interpret):
+    b, n, w3 = qkv.shape
+    hc = w3 // 3
+    hg, gl = heads // hs, hc // hs
+    nq_steps, nk_steps = _cdiv(n, bq), _cdiv(n, bk)
+    qspec = pl.BlockSpec((1, bq, gl), lambda b_, g, i, j: (b_, i, g),
+                         memory_space=pltpu.VMEM)
+    kvspec = lambda s: pl.BlockSpec(
+        (1, bk, gl), lambda b_, g, i, j, s=s: (b_, j, s * hs + g),
+        memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec(1), kvspec(2)]
+    args = [qkv, qkv, qkv]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, _SUBLANES, bk), lambda b_, g, i, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+    return pl.pallas_call(
+        functools.partial(_fwd_tm_tiled_kernel, scale=scale, heads=hg,
+                          hdim=hdim, nsteps=nk_steps, nk=n, block_k=bk),
+        grid=(b, hs, nq_steps, nk_steps),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bq, gl), lambda b_, g, i, j: (b_, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, hg), lambda b_, g, i, j: (b_, g, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hc), qkv.dtype),
+            jax.ShapeDtypeStruct((b, hs, n, hg), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bq, gl), jnp.float32),
+                        pltpu.VMEM((bq, hg), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+def _fwd_tm(qkv, mask, meta, grad=False):
     """qkv: [B, N, 3*H*c] token-major. Returns (o [B, N, H*c],
     lse [B, hs_f, N, hg] fp32 base-2 — grouped by the fwd head split; the
     bwd regroups it in XLA). The q/k/v planes and head groups are LANE
     blocks of the one qkv array (Mosaic requires the last two block dims
-    to be 8/128-aligned or full, which rules out a size-1 middle dim)."""
-    scale, heads, hdim, hs_f, bq, hs_b, bk, interpret = meta
+    to be 8/128-aligned or full, which rules out a size-1 middle dim).
+
+    meta carries (pf_primal, pf_grad) from _pick_tm_fwd; `grad` selects
+    (True inside the custom_vjp fwd rules, i.e. under differentiation,
+    where Mosaic's scoped-vmem accounting is stricter — see _pick_tm_fwd).
+    ('one', hs, bq) is the one-shot kernel (full kv planes resident);
+    ('tiled', hs, bq, bk) streams kv blocks with static-shift accumulation
+    (bounded VMEM at any N)."""
+    scale, heads, hdim, pfs, _pb, interpret = meta
+    pf = pfs[1] if grad else pfs[0]
+    if pf[0] == "tiled":
+        return _fwd_tm_tiled(qkv, mask, scale, heads, hdim, pf[1], pf[2],
+                             pf[3], interpret)
+    hs_f, bq = pf[1], pf[2]
     b, n, w3 = qkv.shape
     hc = w3 // 3
     hg, gl = heads // hs_f, hc // hs_f
@@ -1022,8 +1244,13 @@ def _bwd_tm(qkv, mask, o, lse, do, meta):
     backward's matmuls, no assembly copies.
 
     qkv: [B, N, 3*H*c]; lse: [B, hs_f, N, hg_f] as emitted by _fwd_tm
-    (regrouped here to the bwd's own head split)."""
-    scale, heads, hdim, hs_f, bq, hs_b, bk, interpret = meta
+    (regrouped here to the bwd's own head split).
+
+    meta carries the bwd mode picked by _pick_tm_bwd: ('merged', hs, bk)
+    runs the single-pass kernel above; ('tiled', hs, bq, bk) runs the
+    dual-tiled kernel pair (bounded VMEM at any N)."""
+    scale, heads, hdim, _pf, pb, interpret = meta
+    hs_b, bk = pb[1], pb[-1]
     b, n, w3 = qkv.shape
     hc = w3 // 3
     hg, gl = heads // hs_b, hc // hs_b
@@ -1037,6 +1264,9 @@ def _bwd_tm(qkv, mask, o, lse, do, meta):
     lse_g = jnp.transpose(
         jnp.transpose(lse, (0, 2, 1, 3)).reshape(b, n, hs, hg), (0, 2, 1, 3)
     )
+    if pb[0] == "tiled":
+        return _bwd_tm_tiled(qkv, mask, do, lse_g, delta_g, scale, heads,
+                             hdim, hs, pb[2], pb[3], interpret)
     nsteps = _cdiv(n, bk)
     qspec = pl.BlockSpec((1, n, gl), lambda b_, g, j: (b_, 0, g),
                          memory_space=pltpu.VMEM)
@@ -1081,14 +1311,225 @@ def _bwd_tm(qkv, mask, o, lse, do, meta):
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# dual-tiled token-major backward: BOTH sequence sides blocked, so VMEM and
+# the per-head score temps are bounded by (bq, bk) independent of N. This is
+# the classic two-kernel flash backward; it covers geometries the merged
+# kernel cannot (its per-head temps are [bk, N] and it holds q/do/dq-acc at
+# full length — at the vith16_384 train geometry, N=4608 tokens x c=96,
+# that blows both the VMEM budget and the measured Mosaic compile ceiling,
+# and the head-major packed fallback Mosaic-crashes outright; XLA attention
+# there runs at ~3% MFU, bench_vith384_train_attn.py). Cost vs merged: the
+# score tile is computed twice (once per kernel) — only used where merged
+# has no valid config.
+# ---------------------------------------------------------------------------
+
+
+def _valid_cols(rows, cols, j, blk, n):
+    """[rows, cols] bool: lane (column) index j*blk+col < n (edge masking)."""
+    return j * blk + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) < n
+
+
+def _dq_tm_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                  scale, heads, hdim, nsteps, nk, block_k):
+    if len(rest) == 3:
+        mask_ref, dq_ref, acc_ref = rest
+    else:
+        mask_ref, (dq_ref, acc_ref) = None, rest
+    jk = pl.program_id(3)
+    dqs = []
+    for h in range(heads):
+        sl = slice(h * hdim, (h + 1) * hdim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]               # [bk, c]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]             # [bq, c]
+        lse = lse_ref[0, 0][:, h:h + 1]   # [bq, 1] base-2 units
+        delta = delta_ref[0, 0][:, h:h + 1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
+        p = jnp.exp2(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = (p * (dp - delta)).astype(q.dtype)
+        # kv edge: garbage k COLUMNS of ds and garbage k ROWS would
+        # contaminate the contraction — zero BOTH operands (0*NaN = NaN)
+        if nk % block_k:
+            vc = _valid_cols(ds.shape[0], ds.shape[1], jk, block_k, nk)
+            ds = jnp.where(vc, ds, 0).astype(ds.dtype)
+            vr = jk * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (k.shape[0], 1), 0) < nk
+            k = jnp.where(vr, k.astype(jnp.float32), 0).astype(k.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))  # [bq, c]
+    dq_part = jnp.concatenate(dqs, axis=1)  # [bq, gl]
+
+    @pl.when(jk == 0)
+    def _init():
+        acc_ref[...] = dq_part
+
+    @pl.when(jk > 0)
+    def _acc():
+        acc_ref[...] += dq_part
+
+    @pl.when(jk == nsteps - 1)
+    def _flush():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _dkv_tm_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                   scale, heads, hdim, nsteps, nq, block_q):
+    if len(rest) == 4:
+        mask_ref, dk_ref, dv_ref, acc_ref = rest
+    else:
+        mask_ref, (dk_ref, dv_ref, acc_ref) = None, rest
+    iq = pl.program_id(3)
+    dks, dvs = [], []
+    for h in range(heads):
+        sl = slice(h * hdim, (h + 1) * hdim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]               # [bk, c]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]             # [bq, c]
+        lse = lse_ref[0, 0][:, h][None, :]      # [1, bq]
+        delta = delta_ref[0, 0][:, h][None, :]  # [1, bq]
+        # q edge: q/do edge rows are undefined memory — zero the ROWS and
+        # later the score COLUMNS built from them (both contraction
+        # operands, 0*NaN = NaN)
+        edge = nq % block_q
+        if edge:
+            vr = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (q.shape[0], 1), 0) < nq
+            q = jnp.where(vr, q.astype(jnp.float32), 0).astype(q.dtype)
+            do = jnp.where(vr, do.astype(jnp.float32), 0).astype(do.dtype)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, bq]
+        if mask_ref is not None:
+            st = jnp.where(mask_ref[0][:, 0:1], st, _NEG_INF)
+        pt = jnp.exp2(st - lse)
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, bq]
+        dst = pt * (dpt - delta)
+        if edge:
+            vc = _valid_cols(pt.shape[0], pt.shape[1], iq, block_q, nq)
+            pt = jnp.where(vc, pt, 0)     # lse/delta edge lanes are garbage
+            dst = jnp.where(vc, dst, 0)
+        dvs.append(jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dks.append(jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / _LOG2E))
+    part = jnp.concatenate(
+        [jnp.concatenate(dks, axis=1), jnp.concatenate(dvs, axis=1)], axis=1
+    )  # [bk, 2*gl]: dk | dv
+
+    @pl.when(iq == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(iq > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    gl = part.shape[1] // 2
+
+    @pl.when(iq == nsteps - 1)
+    def _flush():
+        dk_ref[0] = acc_ref[:, :gl].astype(dk_ref.dtype)
+        dv_ref[0] = acc_ref[:, gl:].astype(dv_ref.dtype)
+
+
+def _bwd_tm_tiled(qkv, mask, do, lse_g, delta_g, scale, heads, hdim, hs,
+                  bq, bk, interpret):
+    """Dual-tiled bwd: dq kernel (outer q blocks, inner kv sweep) + dkv
+    kernel (outer kv blocks, inner q sweep). All operand blocks ride the
+    grid via BlockSpecs (Pallas pipelines the DMAs); accumulators live in
+    VMEM scratch and flush on the last inner step."""
+    b, n, w3 = qkv.shape
+    hc = w3 // 3
+    hg, gl = heads // hs, hc // hs
+    nq_steps, nk_steps = _cdiv(n, bq), _cdiv(n, bk)
+    dtype = qkv.dtype
+
+    qspec = pl.BlockSpec((1, bq, gl), lambda b_, g, i, j: (b_, i, g),
+                         memory_space=pltpu.VMEM)
+    kvspec = lambda s: pl.BlockSpec(
+        (1, bk, gl), lambda b_, g, i, j, s=s: (b_, j, s * hs + g),
+        memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, 1, bq, hg), lambda b_, g, i, j: (b_, g, i, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec(1), kvspec(2), qspec, hspec, hspec]
+    args = [qkv, qkv, qkv, do, lse_g, delta_g]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, _SUBLANES, bk), lambda b_, g, i, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+    dq = pl.pallas_call(
+        functools.partial(_dq_tm_kernel, scale=scale, heads=hg, hdim=hdim,
+                          nsteps=nk_steps, nk=n, block_k=bk),
+        grid=(b, hs, nq_steps, nk_steps),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, gl), lambda b_, g, i, j: (b_, i, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, hc), dtype),
+        scratch_shapes=[pltpu.VMEM((bq, gl), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+    qspec2 = pl.BlockSpec((1, bq, gl), lambda b_, g, j, i: (b_, i, g),
+                          memory_space=pltpu.VMEM)
+    kvspec2 = lambda s: pl.BlockSpec(
+        (1, bk, gl), lambda b_, g, j, i, s=s: (b_, j, s * hs + g),
+        memory_space=pltpu.VMEM)
+    hspec2 = pl.BlockSpec((1, 1, bq, hg), lambda b_, g, j, i: (b_, g, i, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [qspec2, kvspec2(1), kvspec2(2), qspec2, hspec2, hspec2]
+    args = [qkv, qkv, qkv, do, lse_g, delta_g]
+    if mask is not None:
+        mask_col = jax.lax.broadcast_in_dim(
+            mask[:, 0, :], (mask.shape[0], mask.shape[2], _LSE_LANES), (0, 1)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bk, _LSE_LANES), lambda b_, g, j, i: (b_, j, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask_col)
+    kvspec_out = pl.BlockSpec((1, bk, gl), lambda b_, g, j, i: (b_, j, g),
+                              memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_tm_kernel, scale=scale, heads=hg, hdim=hdim,
+                          nsteps=nq_steps, nq=n, block_q=bq),
+        grid=(b, hs, nk_steps, nq_steps),
+        in_specs=in_specs,
+        out_specs=[kvspec_out, kvspec_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hc), dtype),
+            jax.ShapeDtypeStruct((b, n, hc), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bk, 2 * gl), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
 def _project_qkv(x, w, bias):
     """x [B,N,D] @ w [D,3HC] + bias, fp32 accumulation, cast to x.dtype."""
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return (y + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def _tm_fwd_core(x, w, bias, mask, meta):
-    return _fwd_tm(_project_qkv(x, w, bias), mask, meta)
+def _tm_fwd_core(x, w, bias, mask, meta, grad=False):
+    return _fwd_tm(_project_qkv(x, w, bias), mask, meta, grad=grad)
 
 
 def _tm_bwd_core(x, w, bias, mask, o, lse, do, meta):
@@ -1126,7 +1567,7 @@ def _flash_tm(meta, x, w, bias):
 
 
 def _flash_tm_fwd(meta, x, w, bias):
-    o, lse = _tm_fwd_core(x, w, bias, None, meta)
+    o, lse = _tm_fwd_core(x, w, bias, None, meta, grad=True)
     return (o, lse), (x, w, bias, o, lse)
 
 
@@ -1145,7 +1586,7 @@ def _flash_tm_masked(meta, x, w, bias, mask):
 
 
 def _flash_tm_masked_fwd(meta, x, w, bias, mask):
-    o, lse = _tm_fwd_core(x, w, bias, mask, meta)
+    o, lse = _tm_fwd_core(x, w, bias, mask, meta, grad=True)
     return (o, lse), (x, w, bias, mask, o, lse)
 
 
@@ -1177,7 +1618,7 @@ def _flash_tm_qkv(meta, qkv):
 
 
 def _flash_tm_qkv_fwd(meta, qkv):
-    o, lse = _fwd_tm(qkv, None, meta)
+    o, lse = _fwd_tm(qkv, None, meta, grad=True)
     return (o, lse), (qkv, o, lse)
 
 
@@ -1197,7 +1638,7 @@ def _flash_tm_qkv_masked(meta, qkv, mask):
 
 
 def _flash_tm_qkv_masked_fwd(meta, qkv, mask):
-    o, lse = _fwd_tm(qkv, mask, meta)
+    o, lse = _fwd_tm(qkv, mask, meta, grad=True)
     return (o, lse), (qkv, mask, o, lse)
 
 
@@ -1265,19 +1706,22 @@ def flash_self_attention(
     # grads are identically zero; the o pad lanes are sliced off below (a
     # differentiable slice, so dw/db flow back through the pad correctly).
     cp = head_dim
-    pf = _pick_tm_params(num_heads, cp, n, fwd=True)
-    pb = _pick_tm_params(num_heads, cp, n, fwd=False)
+    pf = _pick_tm_fwd(num_heads, cp, n)
+    pb = _pick_tm_bwd(num_heads, cp, n)
     if (pf is None or pb is None) and head_dim % 32:
         cp = _round_up(head_dim, 32)
-        pf = _pick_tm_params(num_heads, cp, n, fwd=True)
-        pb = _pick_tm_params(num_heads, cp, n, fwd=False)
+        pf = _pick_tm_fwd(num_heads, cp, n)
+        pb = _pick_tm_bwd(num_heads, cp, n)
     if n > _MAX_NK or pf is None or pb is None:
-        # fall back to the head-major packed kernels (one relayout) or XLA
+        # fall back to the head-major packed kernels (one relayout) or XLA.
+        # Beyond _PACKED_SAFE_N the packed bwd Mosaic-crashes (measured:
+        # N=4608/c=80 HTTP-500s the remote compiler,
+        # scripts/bench_vith384_train_attn.py round 5) — go straight to XLA.
         qkv = _project_qkv(x, w_qkv, b_qkv)
         t = jnp.transpose(
             qkv.reshape(b, n, 3, num_heads, head_dim), (2, 0, 3, 1, 4)
         )  # [3, B, H, N, c]
-        if n > _MAX_NK:
+        if n > _MAX_NK or n > _PACKED_SAFE_N:
             from jepa_tpu.ops.attention import xla_attention
 
             o = xla_attention(
@@ -1300,8 +1744,7 @@ def flash_self_attention(
             b_qkv.reshape(3, num_heads, head_dim), pad[1:]
         ).reshape(3 * num_heads * cp)
 
-    meta = (float(scale), num_heads, cp, pf[0], pf[1], pb[0], pb[1],
-            bool(interpret))
+    meta = (float(scale), num_heads, cp, pf, pb, bool(interpret))
     if _remat_save_qkv():
         # projection outside the custom_vjp, its output named for the remat
         # policy: the backward reads SAVED qkv instead of recomputing

@@ -45,7 +45,7 @@ def main():
     )
     from jepa_tpu.models.factory import vit_cfg
     from jepa_tpu.models.vit import init_vit, vit_forward
-    from jepa_tpu.ops.flash_attention import _pick_tm_params
+    from jepa_tpu.ops.flash_attention import _pick_tm_bwd, _pick_tm_fwd
 
     enc_cfg = vit_cfg("vit_huge", img_size=384, num_frames=16, tubelet_size=2,
                       uniform_power=True, fused_mlp=True)
@@ -54,8 +54,9 @@ def main():
     print(f"vit_huge@384: N={n} heads={enc_cfg.num_heads} c={c} "
           f"(padded {((c + 31) // 32) * 32})", flush=True)
     cp = ((c + 31) // 32) * 32
-    print("tm picker fwd:", _pick_tm_params(enc_cfg.num_heads, cp, n, fwd=True),
-          " bwd:", _pick_tm_params(enc_cfg.num_heads, cp, n, fwd=False), flush=True)
+    print("tm picker fwd (primal, grad):",
+          _pick_tm_fwd(enc_cfg.num_heads, cp, n),
+          " bwd:", _pick_tm_bwd(enc_cfg.num_heads, cp, n), flush=True)
 
     params, consts = init_vit(jax.random.PRNGKey(0), enc_cfg)
     enc_fn = jax.jit(lambda p, cs, x: vit_forward(p, cs, x, enc_cfg))

@@ -105,7 +105,13 @@ def main(n_devices: int = N_DEVICES) -> None:
     batch = mesh.shape["data"]  # 1 clip per data-parallel group: tiny batch
 
     t0 = time.time()
-    state, consts = init_train_state(jax.random.PRNGKey(0), enc_cfg, pred_cfg)
+    # unroll_blocks=True: the SHIPPED pretrain-config default (per-layer
+    # block params + AdamW moments, configs/pretrain/vith16*.yaml
+    # meta.unroll_blocks) — so this proof covers the layout production runs
+    # actually use, not just the stacked lax.scan variant.
+    state, consts = init_train_state(
+        jax.random.PRNGKey(0), enc_cfg, pred_cfg, unroll_blocks=True
+    )
     n_params = sum(x.size for x in jax.tree.leaves(state["params"]))
     print(f"init {time.time()-t0:.1f}s params={n_params/1e6:.1f}M", flush=True)
 
@@ -147,7 +153,8 @@ def main(n_devices: int = N_DEVICES) -> None:
     print(
         f"VITH_PRODUCTION_OK img={IMG} mesh={dict(mesh.shape)} batch={batch} "
         f"tokens={grid.n} params={n_params/1e6:.0f}M compile={t_compile:.0f}s "
-        f"step={t_step:.0f}s loss={loss:.4f} peak_rss={rss_gb:.1f}GB",
+        f"step={t_step:.0f}s loss={loss:.4f} peak_rss={rss_gb:.1f}GB "
+        f"unroll_blocks=True",
         flush=True,
     )
 

@@ -448,3 +448,126 @@ def test_flash_self_attention_shape_fuzz():
         np.testing.assert_allclose(
             np.asarray(g_tm), np.asarray(g_ref), atol=1e-4, rtol=1e-4,
             err_msg=f"dx h={h} c={c} n={n} mask={use_mask}")
+
+
+def test_tm_tiled_bwd_matches_merged_and_xla():
+    """Dual-tiled token-major backward (both sequence sides blocked,
+    _bwd_tm_tiled): exact vs the merged kernel and the XLA reference,
+    masked and unmasked, at an edge geometry (N=320 -> 3 blocks of 128
+    with a 64-row edge) so the cross-block zeroing of both contraction
+    operands is exercised. This path covers geometries where the merged
+    kernel's full-length q/do/dq-acc residents blow VMEM — the vith16_384
+    train geometry (c=96, N=4608; reference modules.py:66-69 +
+    configs/pretrain/vith16_384.yaml) Mosaic-crashed the head-major packed
+    fallback and ran XLA attention at ~3% MFU before this kernel."""
+    import jepa_tpu.ops.flash_attention as fa
+
+    H, C, N, D = 4, 32, 320, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, N, D), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (D, 3 * H * C), jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(2), (3 * H * C,), jnp.float32) * 0.01
+    kv_mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.7, (2, N))
+    kv_mask = kv_mask.at[:, 0].set(True)
+    scale = C ** -0.5
+    mask = jax.lax.broadcast_in_dim(
+        kv_mask.astype(bool), (2, fa._SUBLANES, N), (0, 2))
+    weight = 1e-4 * jnp.arange(2 * N * H * C, dtype=jnp.float32).reshape(
+        2, N, H * C)
+
+    def run(mode, masked, fwd_mode=("one", 1, 128)):
+        meta = (scale, H, C, (fwd_mode, fwd_mode), mode, True)
+
+        def loss(x, w, bias):
+            if masked:
+                o, _ = fa._flash_tm_masked(meta, x, w, bias, mask)
+            else:
+                o, _ = fa._flash_tm(meta, x, w, bias)
+            return jnp.sum(o * weight)
+
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w, bias)
+
+    def ref(masked):
+        def loss(x, w, bias):
+            qkv = x @ w + bias
+            q, k, v = [qkv[..., i * H * C:(i + 1) * H * C].reshape(2, N, H, C)
+                       for i in range(3)]
+            o = xla_attention(q, k, v, kv_mask=kv_mask if masked else None,
+                              scale=scale).reshape(2, N, H * C)
+            return jnp.sum(o * weight)
+
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w, bias)
+
+    for masked in (False, True):
+        v_m, g_m = run(("merged", 1, 128), masked)
+        v_t, g_t = run(("tiled", 1, 128, 128), masked)
+        # tiled FWD (kv-blocked static-shift accumulation) over the tiled
+        # bwd: the full big-N composition flash_self_attention ships
+        v_tf, g_tf = run(("tiled", 1, 128, 128), masked,
+                         fwd_mode=("tiled", 1, 128, 128))
+        v_r, g_r = ref(masked)
+        np.testing.assert_allclose(float(v_t), float(v_m), rtol=1e-6)
+        np.testing.assert_allclose(float(v_t), float(v_r), rtol=1e-5)
+        np.testing.assert_allclose(float(v_tf), float(v_r), rtol=1e-5)
+        for a_tf, b in zip(g_tf, g_m):
+            sc = float(jnp.abs(jnp.asarray(b)).max())
+            np.testing.assert_allclose(
+                np.asarray(a_tf) / sc, np.asarray(b) / sc, atol=2e-5,
+                err_msg=f"tiled-fwd vs merged mask={masked}")
+        for a, b, c_ in zip(g_t, g_m, g_r):
+            # max-normalized: elementwise rtol is meaningless on the
+            # near-zero entries of these fp32 accumulation-order-different
+            # reductions
+            sc = float(jnp.abs(jnp.asarray(b)).max())
+            np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
+                                       atol=2e-5,
+                                       err_msg=f"tiled vs merged mask={masked}")
+            np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(c_) / sc,
+                                       atol=5e-5,
+                                       err_msg=f"tiled vs xla mask={masked}")
+
+
+def test_tm_bwd_mode_picker():
+    """_pick_tm_bwd keeps every previously-merged production shape on the
+    merged kernel (no dispatch regression) and extends coverage to the
+    vith16_384 train geometry via the tiled mode, inside the envelope."""
+    from jepa_tpu.ops.flash_attention import (
+        _TM_COMPILE_LIMIT_BWD,
+        _TM_MAX_HGBLK_BWD,
+        _TM_MAX_UNROLLED_HEADS,
+        _pick_tm_bwd,
+    )
+
+    merged_cases = [(16, 64, 1568), (16, 64, 376), (16, 32, 1191),
+                    (16, 96, 1568)]
+    for heads, hdim, n in merged_cases:
+        assert _pick_tm_bwd(heads, hdim, n)[0] == "merged", (heads, hdim, n)
+
+    got = _pick_tm_bwd(16, 96, 4608)
+    assert got is not None and got[0] == "tiled", got
+    _, s, bq, bk = got
+    hg = 16 // s
+    limit = _TM_COMPILE_LIMIT_BWD // 2  # hdim > 64 halving
+    assert hg <= _TM_MAX_UNROLLED_HEADS
+    assert hg * max(bq, bk) <= _TM_MAX_HGBLK_BWD
+    assert hg * bq * bk * 96 <= limit
+    assert (16 * 96 // s) % 128 == 0
+
+
+def test_tm_fwd_mode_picker():
+    """_pick_tm_fwd returns a (primal, grad) pair: production ViT-L/
+    predictor shapes stay one-shot in BOTH contexts (no dispatch
+    regression); the vith16_384 geometry keeps the one-shot PRIMAL
+    (575 ms encode, BENCH.md — the tiled fwd measured 803 ms there) but
+    goes tiled under grad, where the one-shot's 18.5M double-buffered
+    stack OOMs Mosaic's 16M scoped vmem (measured round 5). The pair
+    must share a head split: the custom_vjp primal and fwd rules emit
+    the same lse [B, hs, N, hg] shape."""
+    from jepa_tpu.ops.flash_attention import _pick_tm_fwd
+
+    for heads, hdim, n in [(16, 64, 1568), (16, 64, 376), (16, 32, 1191)]:
+        pp, pg = _pick_tm_fwd(heads, hdim, n)
+        assert pp[0] == "one" and pg == pp, (heads, hdim, n, pp, pg)
+
+    pp, pg = _pick_tm_fwd(16, 96, 4608)
+    assert pp[0] == "one" and pg[0] == "tiled", (pp, pg)
+    assert pp[1] == pg[1], "primal and grad fwd must share the head split"
