@@ -171,20 +171,27 @@ def calibrate_pad_tiers(
     specs: Sequence[MaskSpec], grid: MaskGrid, batch_size: int,
     iters: int = 200, fractions: Sequence[float] = (0.6, 0.9),
     seed: int = 4321, headroom: float = 1.05, multiple: int = 128,
-    n_chunks: int = 1,
+    n_chunks: int = 1, mode: str = "total",
 ):
     """Bucketed static-cap tiers for padded-parity mode.
 
     A single worst-case cap (calibrate_pad_caps) over-allocates the typical
     step by ~1.7x/1.2x — most of padded mode's throughput gap vs fixed mode.
-    This draws ``iters`` joint collator iterations, sorts them by total mask
-    tokens, and takes element-wise cap ENVELOPES over the cheapest
-    ``fraction`` of iterations: tier t covers every iteration inside its
-    fraction by construction, so select_pad_tier resolves to tier 0 on
-    >= fractions[0] of steps and each step pays close to its actual shape
-    instead of the tail's. The last tier reproduces calibrate_pad_caps'
-    max*headroom worst case; rarer-still masks truncate in pad_masks (the
-    reference's max_keep ascending-slice semantics, multiblock3d.py:194-201).
+    This draws ``iters`` joint collator iterations and builds cap tiers from
+    the empirical distribution; tier selection per step (select_pad_tier)
+    then pays close to the step's actual shape instead of the tail's. The
+    last tier always reproduces calibrate_pad_caps' max*headroom worst
+    case; rarer-still masks truncate in pad_masks (the reference's max_keep
+    ascending-slice semantics, multiblock3d.py:194-201).
+
+    mode "field": tier t's cap for each FIELD (spec x enc/pred) is that
+    field's own ``fractions[t]`` quantile — the fields are nearly
+    independent, so the "total" joint envelope (element-wise max over the
+    cheapest fraction sorted by total tokens) carries every field far above
+    its typical draw (e.g. long-range enc cap 256 vs a 96-token median).
+    Identical semantics either way (caps only set pad shapes; the final
+    tier's truncation rule is shared) — the default follows the measured
+    winner in BENCH.md.
 
     Returns tiers: list (ascending cost) of per-spec (enc_cap, pred_cap)
     lists. Adjacent duplicate tiers (after lane rounding) are merged.
@@ -206,13 +213,26 @@ def calibrate_pad_tiers(
                 ke = max(ke, e.shape[1])
                 kp = max(kp, p.shape[1])
             rec[i, s] = (ke, kp)
-    rec = rec[np.argsort(rec.sum(axis=(1, 2)), kind="stable")]
-
     def cap(k, hr):
         c = int(np.ceil(k * hr / multiple) * multiple)
         return min(max(c, multiple), grid.n)
 
     tiers = []
+    if mode == "field":
+        for f in sorted(fractions):
+            env = np.quantile(rec, f, axis=0)  # [S, 2] per-field quantile
+            tier = [(cap(env[s, 0], 1.0), cap(env[s, 1], 1.0))
+                    for s in range(len(specs))]
+            if not tiers or tier != tiers[-1]:
+                tiers.append(tier)
+        env = rec.max(axis=0)
+        tier = [(cap(env[s, 0], headroom), cap(env[s, 1], headroom))
+                for s in range(len(specs))]
+        if not tiers or tier != tiers[-1]:
+            tiers.append(tier)
+        return tiers
+
+    rec = rec[np.argsort(rec.sum(axis=(1, 2)), kind="stable")]
     cuts = [max(1, int(round(f * iters))) for f in fractions] + [iters]
     for cut in sorted(set(cuts)):
         env = rec[:cut].max(axis=0)  # [S, 2]

@@ -849,6 +849,9 @@ def _pick_tm_fwd(heads: int, hdim: int, n: int):
     double-buffered footprint fits, else tiled). Both share one head
     split so the primal and fwd rules emit identical lse shapes."""
     p = _pick_tm_params(heads, hdim, n, fwd=True)
+    bq_override = _tm_fwd_bq_override()
+    if p is not None and bq_override:
+        p = (p[0], bq_override)
     if p is not None:
         s, blk = p
         gl = heads * hdim // s
@@ -923,8 +926,34 @@ def _tm_no_max() -> bool:
     return os.environ.get("JEPA_TM_NO_MAX", "1") == "1"
 
 
+def _tm_mh_softmax() -> bool:
+    """Experiment knob (JEPA_TM_MH_SOFTMAX=1, trace-time): in the one-shot
+    fwd kernel, compute ALL unrolled heads' score tiles first, run ONE exp2
+    over their lane-concat [bq, hg*nk], then the per-head o matmuls —
+    instead of the default per-head serialize (s -> exp2 -> o). Targets the
+    predictor's ~23% MFU (VERDICT r4 task 5): fewer, larger VPU passes vs
+    hg small ones. Costs VMEM: all hg score tiles live at once (the default
+    keeps ~2), so pair with JEPA_TM_FWD_BQ to shrink the q block. Same math
+    (static-shift softmax), exactness envelope unchanged."""
+    import os
+
+    return os.environ.get("JEPA_TM_MH_SOFTMAX", "0") == "1"
+
+
+def _tm_fwd_bq_override():
+    """Experiment knob (JEPA_TM_FWD_BQ=<int>, trace-time): override the
+    one-shot fwd q-block size picked by _pick_tm_params — for kernel
+    experiments whose VMEM live-set differs from the picker's model (e.g.
+    JEPA_TM_MH_SOFTMAX). No validation: out-of-envelope values Mosaic-crash
+    (HTTP 500); use for A/B probes only."""
+    import os
+
+    v = os.environ.get("JEPA_TM_FWD_BQ")
+    return int(v) if v else None
+
+
 def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,
-                   kv_chunk=0, no_max=False):
+                   kv_chunk=0, no_max=False, mh_softmax=False):
     if len(rest) == 3:
         mask_ref, o_ref, lse_ref = rest
     else:
@@ -932,6 +961,43 @@ def _fwd_tm_kernel(q_ref, k_ref, v_ref, *rest, scale, heads, hdim,
     q = q_ref[0]  # [bq, gl]
     k = k_ref[0]  # [nk, gl]
     v = v_ref[0]
+    if mh_softmax and no_max and heads > 1:
+        # Experiment body (JEPA_TM_MH_SOFTMAX, VERDICT r4 task 5): all
+        # heads' score matmuls first, ONE exp2 over the lane-concat
+        # [bq, hg*nk], then the per-head o matmuls. All hg score tiles are
+        # live at once (the serialized body keeps ~2) — pair with
+        # JEPA_TM_FWD_BQ to fit VMEM.
+        nk_ = k.shape[0]
+        ones_ = jnp.ones((nk_, 1), v.dtype)
+        ss = []
+        for h in range(heads):
+            sl = slice(h * hdim, (h + 1) * hdim)
+            qh = (q[:, sl].astype(jnp.float32)
+                  * (scale * _LOG2E)).astype(q.dtype)
+            s = jax.lax.dot_general(
+                qh, k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if mask_ref is not None:
+                s = jnp.where(mask_ref[0, 0:1, :], s, _NEG_INF)
+            ss.append(s)
+        p_all = jnp.exp2(
+            jnp.concatenate(ss, axis=1) - _TM_STATIC_SHIFT
+        ).astype(v.dtype)  # [bq, hg*nk]
+        outs, lses = [], []
+        for h in range(heads):
+            sl = slice(h * hdim, (h + 1) * hdim)
+            v_ext = jnp.concatenate([v[:, sl], ones_], axis=1)
+            o_l = jax.lax.dot_general(
+                p_all[:, h * nk_:(h + 1) * nk_], v_ext,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            l_safe = jnp.maximum(o_l[:, hdim:hdim + 1], 1e-30)
+            outs.append((o_l[:, :hdim] / l_safe).astype(o_ref.dtype))
+            lses.append(_TM_STATIC_SHIFT + jnp.log2(l_safe))
+        o_ref[0] = jnp.concatenate(outs, axis=1)
+        lse_ref[0, 0] = jnp.concatenate(lses, axis=1)
+        return
     # The softmax is the VPU bottleneck (round-3 xplane: predictor fwd
     # 2.16 ms/layer vs a 0.35 ms MXU floor), so every score-sized VPU pass
     # counts. Two cuts vs the naive form:
@@ -1154,7 +1220,8 @@ def _fwd_tm(qkv, mask, meta, grad=False):
         args.append(mask)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_tm_kernel, scale=scale, heads=hg, hdim=hdim,
-                          kv_chunk=_tm_kv_chunk(), no_max=_tm_no_max()),
+                          kv_chunk=_tm_kv_chunk(), no_max=_tm_no_max(),
+                          mh_softmax=_tm_mh_softmax()),
         grid=grid,
         in_specs=in_specs,
         out_specs=[

@@ -51,7 +51,11 @@ def _setup():
         MaskSpec(num_blocks=8, spatial_scale=(0.15, 0.15), aspect_ratio=(0.75, 1.5)),
         MaskSpec(num_blocks=2, spatial_scale=(0.7, 0.7), aspect_ratio=(0.75, 1.5)),
     ]
-    tiers = calibrate_pad_tiers(specs, grid, BATCH)
+    # JEPA_PAD_TIER_MODE: "total" (legacy joint envelope) | "field"
+    # (per-field quantiles) — the round-5 A/B knob; see calibrate_pad_tiers.
+    tiers = calibrate_pad_tiers(
+        specs, grid, BATCH,
+        mode=os.environ.get("JEPA_PAD_TIER_MODE", "total"))
     collator = MaskCollator(specs, grid, seed=0)
     return enc_cfg, pred_cfg, grid, specs, tiers, collator
 
@@ -124,6 +128,18 @@ def run_tier(tier_idx: int):
     dt = (time.perf_counter() - t0) / ITERS
     print(f"TIER {tier_idx} ms {dt*1000:.2f} loss {float(m['loss']):.4f}",
           flush=True)
+    if os.environ.get("JEPA_PROFILE_TIER") == "1":
+        # device-side op attribution of this tier's step (VERDICT r4 task 3:
+        # where do the padded-vs-fixed milliseconds go?)
+        trace_dir = "/tmp/jepa_xplane_padded"
+        with jax.profiler.trace(trace_dir):
+            for b in batches[:2]:
+                st, m = fn(st, b)
+            jax.block_until_ready(m["loss"])
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from xplane_util import print_xplane_summary
+
+        print_xplane_summary(trace_dir, top=40)
 
 
 def main():

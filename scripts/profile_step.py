@@ -7,8 +7,6 @@ needed) and aggregates op durations per device line.
 
 from __future__ import annotations
 
-import collections
-import glob
 import os
 import sys
 
@@ -72,30 +70,10 @@ def main():
         jax.block_until_ready(m["loss"])
     print("loss:", float(m["loss"]))
 
-    paths = sorted(glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"),
-                             recursive=True), key=os.path.getmtime)
-    if not paths:
-        print("NO XPLANE CAPTURED")
-        return
-    data = jax.profiler.ProfileData.from_serialized_xspace(
-        open(paths[-1], "rb").read()
-    )
-    for plane in data.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
-            continue
-        print(f"\n=== plane: {plane.name}")
-        for line in plane.lines:
-            agg = collections.Counter()
-            cnt = collections.Counter()
-            total = 0.0
-            for ev in line.events:
-                dur = ev.duration_ns / 1e6
-                agg[ev.name] += dur
-                cnt[ev.name] += 1
-                total += dur
-            print(f"\n-- line: {line.name!r} ({total:.1f} ms total)")
-            for name, ms in agg.most_common(30):
-                print(f"  {ms:9.2f} ms  x{cnt[name]:<5d} {name[:150]}")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from xplane_util import print_xplane_summary
+
+    print_xplane_summary(TRACE_DIR)
 
 
 if __name__ == "__main__":

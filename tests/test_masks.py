@@ -206,6 +206,35 @@ def test_pad_tiers_bucketing():
     assert hits[0] >= 30, hits
 
 
+def test_calibrate_pad_tiers_field_mode():
+    """Per-field quantile tiers (mode='field', round 5): ascending
+    element-wise, lane-multiple caps, SAME worst-case last tier as the
+    legacy mode (truncation semantics shared), and tier-0 caps no larger
+    than the legacy joint-envelope tier-0 in every field (the mode exists
+    to stop near-independent fields from carrying each other's tails —
+    e.g. the long-range enc cap sat at 256 with a 96-token median)."""
+    from jepa_tpu.masks.multiblock3d import calibrate_pad_caps, calibrate_pad_tiers
+
+    specs = [SHORT, LONG]
+    ftiers = calibrate_pad_tiers(specs, GRID, 24, iters=120, seed=7,
+                                 mode="field")
+    ttiers = calibrate_pad_tiers(specs, GRID, 24, iters=120, seed=7,
+                                 mode="total")
+    for a, b in zip(ftiers, ftiers[1:]):
+        assert all(ca <= cb and pa <= pb for (ca, pa), (cb, pb) in zip(a, b))
+        assert a != b
+    for tier in ftiers:
+        for ce, cp in tier:
+            assert (ce % 128 == 0 or ce == GRID.n) and ce >= 128
+            assert (cp % 128 == 0 or cp == GRID.n) and cp >= 128
+    worst = [calibrate_pad_caps(s, GRID, 24, iters=120, seed=7) for s in specs]
+    assert ftiers[-1] == worst == ttiers[-1]
+    assert all(
+        fe <= te and fp <= tp
+        for (fe, fp), (te, tp) in zip(ftiers[0], ttiers[0])
+    )
+
+
 def test_select_pad_tier_truncation_fallback():
     """Masks heavier than every tier fall to the LAST tier (pad_masks then
     truncates, the reference's max_keep ascending-slice semantics)."""
