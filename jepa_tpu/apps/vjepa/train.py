@@ -26,7 +26,7 @@ from jepa_tpu.configs import dump_config
 from jepa_tpu.data.loader import make_video_loader
 from jepa_tpu.data.transforms import AugmentCfg, pretrain_augment
 from jepa_tpu.masks.multiblock3d import MaskGrid, MaskSpec, resolve_keep_counts
-from jepa_tpu.masks.multiblock3d import select_pad_tier
+from jepa_tpu.masks.multiblock3d import select_pad_rungs, select_pad_tier
 from jepa_tpu.masks.padding import pad_masks, static_cap
 from jepa_tpu.masks.multiblock3d import MaskCollator as MB3DCollator
 from jepa_tpu.masks.random_tube import TubeMaskCollator, TubeSpec, keep_counts as tube_keep_counts
@@ -196,13 +196,25 @@ def main(args: dict, resume_preempt: bool = False):
         # the runtime chunking: per-device collates of the YAML batch_size,
         # requirement = max over all global devices' chunks. Host-side cost
         # scales with global device count, so only padded mode pays it.
-        pad_tiers = (
-            calibrate_pad_tiers(
-                specs, grid, batch_size, n_chunks=world_size * devices_per_host
-            )
-            if mask_mode == "padded"
-            else None
-        )
+        # meta.pad_tier_scope "spec" (round-5 default, measured 852.3 ms vs
+        # joint tiers' 918.5/990 — BENCH.md): per-spec cap ladders picked
+        # independently per mask config, so each spec lands on its cheap
+        # rung at its own rate instead of only when ALL specs draw cheap
+        # together (executables = product of ladder lengths, 6 cells
+        # observed at the reference 2-spec config; real TPU VMs cache them)
+        pad_scope = cfgs_meta.get("pad_tier_scope", "spec")
+        pad_tiers = pad_ladders = None
+        if mask_mode == "padded":
+            if pad_scope == "spec":
+                from jepa_tpu.masks.multiblock3d import calibrate_pad_ladders
+
+                pad_ladders = calibrate_pad_ladders(
+                    specs, grid, batch_size,
+                    n_chunks=world_size * devices_per_host)
+            else:
+                pad_tiers = calibrate_pad_tiers(
+                    specs, grid, batch_size,
+                    n_chunks=world_size * devices_per_host)
     else:
         specs = [TubeSpec.from_cfg(m) for m in cfgs_mask]
         kc = [tube_keep_counts(s, grid) for s in specs]
@@ -210,13 +222,16 @@ def main(args: dict, resume_preempt: bool = False):
         if mask_mode == "fixed":
             mask_mode = "tube"
         # tube masks are exact-K by construction: one tier, caps rounded up
+        pad_ladders = None
         pad_tiers = [[
             (static_cap(grid.n, ke / grid.n), static_cap(grid.n, kp / grid.n))
             for ke, kp in kc
         ]]
     logger.info("mask grid %s keep counts %s mode %s", (grid.t, grid.h, grid.w), kc, mask_mode)
     if mask_mode == "padded":
-        logger.info("padded-mode cap tiers: %s", pad_tiers)
+        logger.info("padded-mode cap %s: %s",
+                    "ladders" if pad_ladders is not None else "tiers",
+                    pad_ladders if pad_ladders is not None else pad_tiers)
 
     # ---- data -----------------------------------------------------------
     if dataset_type == "synthetic":
@@ -366,7 +381,11 @@ def main(args: dict, resume_preempt: bool = False):
             # matches the loader's rank-sliced clips).
             n_chunks = world_size * devices_per_host
             me_list, mp_list = host_collator.collate_chunks(batch_size, n_chunks)
-            tier = pad_tiers[select_pad_tier(pad_tiers, me_list, mp_list)]
+            if pad_ladders is not None:
+                rungs = select_pad_rungs(pad_ladders, me_list, mp_list)
+                tier = [pad_ladders[s][r] for s, r in enumerate(rungs)]
+            else:
+                tier = pad_tiers[select_pad_tier(pad_tiers, me_list, mp_list)]
             lo, hi = rank * devices_per_host, (rank + 1) * devices_per_host
             batch["masks_enc"], batch["enc_weights"] = [], []
             batch["masks_pred"], batch["pred_weights"] = [], []

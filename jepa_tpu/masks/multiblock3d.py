@@ -243,6 +243,93 @@ def calibrate_pad_tiers(
     return tiers
 
 
+def calibrate_pad_ladders(
+    specs: Sequence[MaskSpec], grid: MaskGrid, batch_size: int,
+    iters: int = 200, fractions: Sequence[float] = (0.6, 0.9),
+    seed: int = 4321, headroom: float = 1.05, multiple: int = 128,
+    n_chunks: int = 1,
+):
+    """PER-SPEC cap ladders for padded-parity mode (round 5).
+
+    One joint tier (calibrate_pad_tiers) makes every spec pay for the
+    heaviest spec's draw: with S specs the cheap joint tier hits only on
+    the intersection of all specs' good draws (measured 28.5% at the
+    reference 2-spec config for per-field 0.6-quantiles — the specs are
+    independent, so coverage multiplies). This instead builds, for each
+    spec, an ascending ladder of (enc_cap, pred_cap) rungs from that
+    spec's OWN draw distribution (total-sorted prefix envelopes, the
+    within-spec enc/pred correlation kept), and select_pad_rungs picks a
+    rung per spec independently — each spec lands on its cheap rung at
+    ~fractions[0] rate regardless of the others. The compiled-executable
+    count becomes the product of ladder lengths (vs the ladder length for
+    joint tiers); real TPU VMs cache executables so only the first visit
+    to a lattice cell pays a compile. Last rung = that spec's
+    calibrate_pad_caps worst case (max*headroom); heavier draws truncate
+    in pad_masks (the reference's max_keep ascending-slice semantics,
+    reference multiblock3d.py:194-201).
+
+    Returns ladders: per spec, a list (ascending) of (enc_cap, pred_cap).
+    """
+    gens = [HostMaskGenerator(sp, grid, seed=seed) for sp in specs]
+    if n_chunks > 1:
+        iters = max(40, iters // n_chunks)
+    rec = np.empty((iters, len(specs), 2), np.int64)
+    for i in range(iters):
+        for s, gen in enumerate(gens):
+            it = gen.step()
+            ke = kp = 0
+            for c in range(n_chunks):
+                e, p = gen(batch_size, chunk=c, _it=it)
+                ke = max(ke, e.shape[1])
+                kp = max(kp, p.shape[1])
+            rec[i, s] = (ke, kp)
+
+    def cap(k, hr):
+        c = int(np.ceil(k * hr / multiple) * multiple)
+        return min(max(c, multiple), grid.n)
+
+    # Per-FIELD quantiles within each spec (a prefix ENVELOPE over the
+    # spec's cheapest draws rides its own tail — measured rung-0 coverage
+    # 97.5%, i.e. no discrimination; quantiles give ~fractions[0] per-spec
+    # coverage, which is the whole point of independent per-spec rungs).
+    ladders = []
+    for s in range(len(specs)):
+        rs = rec[:, s]
+        rungs = []
+        for f in sorted(fractions):
+            qe, qp = np.quantile(rs, f, axis=0)
+            rung = (cap(qe, 1.0), cap(qp, 1.0))
+            if not rungs or rung != rungs[-1]:
+                rungs.append(rung)
+        env = rs.max(axis=0)
+        rung = (cap(env[0], headroom), cap(env[1], headroom))
+        if not rungs or rung != rungs[-1]:
+            rungs.append(rung)
+        ladders.append(rungs)
+    return ladders
+
+
+def select_pad_rungs(ladders, me_list, mp_list) -> tuple:
+    """Per-spec smallest rung covering that spec's actual K this iteration
+    (else its last rung, where pad_masks truncates). Same determinism
+    contract as select_pad_tier: a pure function of the counter-seeded
+    collator output, so multi-host processes agree on the compiled shape."""
+
+    def _k(x):
+        return max(a.shape[1] for a in x) if isinstance(x, (list, tuple)) else x.shape[1]
+
+    out = []
+    for me, mp, rungs in zip(me_list, mp_list, ladders):
+        ke, kp = _k(me), _k(mp)
+        pick = len(rungs) - 1
+        for r, (ce, cp) in enumerate(rungs[:-1]):
+            if ke <= ce and kp <= cp:
+                pick = r
+                break
+        out.append(pick)
+    return tuple(out)
+
+
 def select_pad_tier(tiers, me_list, mp_list) -> int:
     """Smallest tier whose caps cover every spec's actual K this iteration,
     else the last (where heavier-than-cap masks truncate in pad_masks).

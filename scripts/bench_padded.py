@@ -60,19 +60,26 @@ def _setup():
     return enc_cfg, pred_cfg, grid, specs, tiers, collator
 
 
-def run_tier(tier_idx: int):
-    """Time the fused padded step at one tier's caps (donated, one executable)."""
+def run_tier(tier_idx: int, caps_arg: str | None = None):
+    """Time the fused padded step at one tier's caps (donated, one executable).
+
+    caps_arg "e0,p0;e1,p1" overrides the tier's caps — used by the per-spec
+    lattice blend (main_spec), where a cell is a rung combination that is
+    not any joint tier."""
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from jepa_tpu.masks.multiblock3d import select_pad_tier
     from jepa_tpu.masks.padding import pad_masks
     from jepa_tpu.train.step import TrainCfg, build_train_step, init_train_state
     from jepa_tpu.utils.schedulers import build_schedules
 
     enc_cfg, pred_cfg, grid, specs, tiers, collator = _setup()
-    caps = tiers[tier_idx]
+    if caps_arg:
+        caps = [tuple(int(v) for v in part.split(","))
+                for part in caps_arg.split(";")]
+    else:
+        caps = tiers[tier_idx]
     lr_s, wd_s, mom_s = build_schedules(
         ipe=300, num_epochs=300, warmup_epochs=40, start_lr=2e-4, ref_lr=6.25e-4,
         final_lr=1e-6, wd=0.04, final_wd=0.4, ema=(0.998, 1.0), ipe_scale=1.25,
@@ -142,6 +149,55 @@ def run_tier(tier_idx: int):
         print_xplane_summary(trace_dir, top=40)
 
 
+def main_spec():
+    """Per-spec rung-lattice blend (meta.pad_tier_scope: spec). Each observed
+    rung combination (cell) is timed in its own subprocess at its exact cap
+    tuple; the blend weighs cells by the counter-seeded collator's empirical
+    rates. Cells never observed in the sample don't enter the blend."""
+    from jepa_tpu.masks.multiblock3d import (
+        calibrate_pad_ladders,
+        select_pad_rungs,
+    )
+
+    _, _, grid, specs, _, collator = _setup()
+    ladders = calibrate_pad_ladders(specs, grid, BATCH)
+    print("pad cap ladders:", ladders, flush=True)
+    hits = {}
+    draws = 200
+    for _ in range(draws):
+        me_list, mp_list = collator(BATCH)
+        r = select_pad_rungs(ladders, me_list, mp_list)
+        hits[r] = hits.get(r, 0) + 1
+    cells = sorted(hits)
+    print(f"rung-cell hit rates over {draws} draws: "
+          f"{ {c: h / draws for c, h in hits.items()} }", flush=True)
+
+    ms = {}
+    for cell in cells:
+        caps = [ladders[s][r] for s, r in enumerate(cell)]
+        caps_arg = ";".join(f"{e},{p}" for e, p in caps)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tier", "0",
+             "--caps", caps_arg],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        sys.stdout.write(p.stdout)
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-2000:])
+            raise SystemExit(f"cell {cell} subprocess failed rc={p.returncode}")
+        mt = re.search(r"TIER 0 ms ([0-9.]+)", p.stdout)
+        if mt is None:
+            raise SystemExit(f"cell {cell}: no 'TIER 0 ms' line in output")
+        ms[cell] = float(mt.group(1))
+        print(f"  cell {cell} caps {caps}: {ms[cell]:.1f} ms "
+              f"(rate {hits[cell]/draws:.3f})", flush=True)
+
+    blended = sum(hits[c] / draws * ms[c] for c in cells)
+    print(f"padded-parity step (per-spec rung blend): {blended:.1f} ms = "
+          f"{BATCH / (blended / 1000):.2f} clips/s/chip", flush=True)
+
+
 def main():
     from jepa_tpu.masks.multiblock3d import select_pad_tier
 
@@ -181,8 +237,11 @@ def main():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", type=int, default=None)
+    ap.add_argument("--caps", type=str, default=None,
+                    help='explicit per-spec caps "e0,p0;e1,p1" (lattice cell)')
+    ap.add_argument("--scope", choices=["joint", "spec"], default="joint")
     a = ap.parse_args()
     if a.tier is None:
-        main()
+        main_spec() if a.scope == "spec" else main()
     else:
-        run_tier(a.tier)
+        run_tier(a.tier, a.caps)

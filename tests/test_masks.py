@@ -235,6 +235,50 @@ def test_calibrate_pad_tiers_field_mode():
     )
 
 
+def test_calibrate_pad_ladders_and_rung_select():
+    """Per-spec rung ladders (pad_tier_scope: spec, round 5): ascending
+    per-spec caps on the 128-lane grid, last rung == that spec's worst-case
+    calibrate_pad_caps (shared truncation semantics), and select_pad_rungs
+    picks per spec independently — a draw heavy in ONE spec must not evict
+    the other spec from its cheap rung (the whole point vs joint tiers,
+    whose cheap tier hits only on the intersection)."""
+    from jepa_tpu.masks.multiblock3d import (
+        calibrate_pad_caps,
+        calibrate_pad_ladders,
+        select_pad_rungs,
+    )
+
+    specs = [SHORT, LONG]
+    ladders = calibrate_pad_ladders(specs, GRID, 24, iters=120, seed=7)
+    for rungs in ladders:
+        for a, b in zip(rungs, rungs[1:]):
+            assert a[0] <= b[0] and a[1] <= b[1] and a != b
+        for ce, cp in rungs:
+            assert (ce % 128 == 0 or ce == GRID.n) and ce >= 128
+            assert (cp % 128 == 0 or cp == GRID.n) and cp >= 128
+    worst = [calibrate_pad_caps(s, GRID, 24, iters=120, seed=7) for s in specs]
+    assert [r[-1] for r in ladders] == worst
+
+    # independence: spec 0 drawn at its worst rung, spec 1 at its cheapest
+    me = [np.zeros((4, ladders[0][-1][0]), np.int32),
+          np.zeros((4, ladders[1][0][0]), np.int32)]
+    mp = [np.zeros((4, ladders[0][-1][1]), np.int32),
+          np.zeros((4, ladders[1][0][1]), np.int32)]
+    rungs = select_pad_rungs(ladders, me, mp)
+    assert rungs[0] == len(ladders[0]) - 1 and rungs[1] == 0
+
+    # heavier than every rung -> last rung (pad_masks truncates there)
+    me[0] = np.zeros((4, GRID.n), np.int32)
+    mp[0] = np.zeros((4, GRID.n), np.int32)
+    assert select_pad_rungs(ladders, me, mp)[0] == len(ladders[0]) - 1
+
+    # chunked-collation entries (lists of per-device chunks) use the max K
+    me[0] = [np.zeros((2, ladders[0][0][0]), np.int32),
+             np.zeros((2, ladders[0][-1][0]), np.int32)]
+    mp[0] = np.zeros((4, ladders[0][0][1]), np.int32)
+    assert select_pad_rungs(ladders, me, mp)[0] > 0
+
+
 def test_select_pad_tier_truncation_fallback():
     """Masks heavier than every tier fall to the LAST tier (pad_masks then
     truncates, the reference's max_keep ascending-slice semantics)."""
