@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--amp-hi", type=float, default=60.0)
     ap.add_argument("--noise", type=float, default=8.0)
     ap.add_argument("--kind", default="grating", choices=["grating", "gabor"])
+    ap.add_argument("--no-photometric", action="store_true",
+                    help="fix per-video color/brightness (see synthetic.py)")
     ap.add_argument("--reg-coeff", type=float, default=0.0)
     ap.add_argument("--warmup", type=int, default=None)
     ap.add_argument("--skip-probes", action="store_true",
@@ -102,6 +104,12 @@ def main():
     ap.add_argument("--probe-epochs", type=int, default=8)
     ap.add_argument("--probe-lr", type=float, default=0.01)
     ap.add_argument("--probe-batch", type=int, default=8)
+    ap.add_argument("--probe-train-per-class", type=int, default=None,
+                    help="label-scarce probe regime: probes train on only N "
+                    "clips/class (pretraining still uses the full pool) — "
+                    "an information-preserving random encoder lets the "
+                    "attentive probe memorize but not generalize, a "
+                    "pretrained low-dim representation generalizes")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--skip-pretrain", action="store_true",
                     help="reuse an existing workdir's checkpoint")
@@ -118,7 +126,7 @@ def main():
             data_dir, args.n_train, args.n_val,
             num_frames=args.vid_frames, size=args.size, seed=0,
             amp_range=(args.amp_lo, args.amp_hi), noise=args.noise,
-            kind=args.kind)
+            kind=args.kind, photometric=not args.no_photometric)
     else:
         train_csv = os.path.join(data_dir, "train.csv")
         val_csv = os.path.join(data_dir, "val.csv")
@@ -166,11 +174,24 @@ def main():
     # ---- probes ----------------------------------------------------------
     from jepa_tpu.evals.scaffold import main as eval_main
 
+    probe_train_csv = train_csv
+    if args.probe_train_per_class is not None:
+        rows = [l.strip() for l in open(train_csv) if l.strip()]
+        by_cls = {}
+        for r in rows:
+            by_cls.setdefault(r.rsplit(" ", 1)[1], []).append(r)
+        sub = [r for rs in by_cls.values()
+               for r in rs[: args.probe_train_per_class]]
+        probe_train_csv = os.path.join(data_dir, "probe_train.csv")
+        with open(probe_train_csv, "w") as f:
+            f.write("\n".join(sub) + "\n")
+        print(f"probe train subset: {len(sub)} clips", flush=True)
+
     results = {}
     for name, ckpt in (("random", rand_ckpt), ("pretrained", pre_ckpt)):
         folder = os.path.join(work, f"probe_{name}")
         os.makedirs(folder, exist_ok=True)
-        cfg = eval_cfg(folder, ckpt, train_csv, val_csv, crop=args.crop,
+        cfg = eval_cfg(folder, ckpt, probe_train_csv, val_csv, crop=args.crop,
                        frames=args.frames, epochs=args.probe_epochs,
                        lr=args.probe_lr, batch=args.probe_batch)
         accs = eval_main("video_classification_frozen", args_eval=cfg)
