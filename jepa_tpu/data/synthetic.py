@@ -71,13 +71,19 @@ def gabor_field_video(
     V-JEPA run to eff-rank ~3 features, scripts/diag_repr.py round 5).
 
     photometric=False removes the per-video color/brightness draw (fixed
-    mid-gray offset, unit gain): per-video photometry is the EASIEST
-    globally-predictable factor, so a tiny V-JEPA run spends its ~rank-2
-    feature budget on it and whether orientation also survives is fp-level
-    luck (measured ridge 54-79% across reruns of ONE recipe, round 5);
-    with photometry fixed, orientation is the dominant predictable factor
-    left and separability stabilizes — the regime
-    tests/test_repr_quality.py pins."""
+    mid-gray offset, unit gain). Per-video photometry is the EASIEST
+    globally-predictable factor, so a tiny V-JEPA run can spend its
+    low-rank feature budget on it; but fixing photometry does NOT by
+    itself stabilize orientation learning (measured round 5: 768-step
+    photometric=False arms across seeds land enc ridge 54-79% — sparse
+    n_patches=10 / noise=20 orientation structure is learned or missed
+    per-seed regardless of the nuisance). The lever that stabilizes
+    learning is SIGNAL DENSITY: n_patches up / noise down makes oriented
+    structure the dominant predictable factor everywhere in the frame;
+    the same density also raises the random-init second-order leak into
+    pooled features (measured ridge 0.729 at n_patches=16/noise=10 vs
+    exact chance at n_patches=10/noise=20), so a dense-regime claim is a
+    measured MARGIN over random init, not an absolute-chance baseline."""
     base = (0.0 if cls == 0 else np.pi / 2) + rng.uniform(-0.45, 0.45)
     y, x = np.mgrid[0:size, 0:size].astype(np.float32)
     acc = np.zeros((num_frames, size, size), np.float32)
@@ -124,6 +130,7 @@ def write_grating_dataset(
     noise: float = 8.0,
     kind: str = "grating",
     photometric: bool = True,
+    n_patches: int = 10,
 ):
     """Materialize synthetic videos as mpeg4 files + reference-format CSVs.
 
@@ -147,7 +154,7 @@ def write_grating_dataset(
                 path = os.path.join(out_dir, f"{split}_c{cls}_v{i}.mp4")
                 if kind == "gabor":
                     vid = gabor_field_video(rng, cls, num_frames, size,
-                                            noise=noise,
+                                            n_patches=n_patches, noise=noise,
                                             photometric=photometric)
                 else:
                     vid = grating_video(rng, cls, num_frames, size,

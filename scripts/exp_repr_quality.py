@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pretrain_cfg(folder, train_csv, *, crop, frames, epochs, ipe, batch,
-                 lr, ema0, patch=16, reg_coeff=0.0, warmup=None):
+                 lr, ema0, patch=16, reg_coeff=0.0, warmup=None, ema1=1.0):
     return {
         "app": "vjepa",
         "meta": {"seed": 11, "dtype": "float32", "mask_mode": "fixed",
@@ -49,7 +49,7 @@ def pretrain_cfg(folder, train_csv, *, crop, frames, epochs, ipe, batch,
                          "clip_grad": 10.0,
                          "lr": lr, "start_lr": lr / 5, "final_lr": lr / 20,
                          "weight_decay": 0.04, "final_weight_decay": 0.4,
-                         "ema": [ema0, 1.0]},
+                         "ema": [ema0, ema1]},
         "logging": {"folder": folder, "write_tag": "pre"},
     }
 
@@ -92,6 +92,13 @@ def main():
     ap.add_argument("--kind", default="grating", choices=["grating", "gabor"])
     ap.add_argument("--no-photometric", action="store_true",
                     help="fix per-video color/brightness (see synthetic.py)")
+    ap.add_argument("--n-patches", type=int, default=10,
+                    help="gabor patches per video: denser = stronger "
+                    "orientation signal (easier SSL task, but also a "
+                    "stronger second-order leak into random features)")
+    ap.add_argument("--ema1", type=float, default=1.0,
+                    help="EMA momentum endpoint (< 1.0 keeps the target "
+                    "tracking late-training encoder gains at toy scale)")
     ap.add_argument("--reg-coeff", type=float, default=0.0)
     ap.add_argument("--warmup", type=int, default=None)
     ap.add_argument("--skip-probes", action="store_true",
@@ -126,7 +133,8 @@ def main():
             data_dir, args.n_train, args.n_val,
             num_frames=args.vid_frames, size=args.size, seed=0,
             amp_range=(args.amp_lo, args.amp_hi), noise=args.noise,
-            kind=args.kind, photometric=not args.no_photometric)
+            kind=args.kind, photometric=not args.no_photometric,
+            n_patches=args.n_patches)
     else:
         train_csv = os.path.join(data_dir, "train.csv")
         val_csv = os.path.join(data_dir, "val.csv")
@@ -164,7 +172,7 @@ def main():
                            frames=args.frames, epochs=args.epochs,
                            ipe=args.ipe, batch=args.batch, lr=args.lr,
                            ema0=args.ema0, reg_coeff=args.reg_coeff,
-                           warmup=args.warmup)
+                           warmup=args.warmup, ema1=args.ema1)
         state = train_main(cfg)
         print("pretrained steps:", int(state["step"]), flush=True)
 
