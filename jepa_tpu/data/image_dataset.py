@@ -61,7 +61,6 @@ class ImageFolder:
                     self.samples.append((os.path.join(cdir, fn), self.class_to_idx[c]))
         if not self.samples:
             raise FileNotFoundError(f"no images under {self.data_path}")
-        self._rng = np.random.default_rng(0)
 
     def __len__(self):
         return len(self.samples)
@@ -69,15 +68,21 @@ class ImageFolder:
     def __getitem__(self, index: int):
         from PIL import Image
 
-        path, label = self.samples[index]
-        try:
-            with Image.open(path) as im:
-                im = im.convert("RGB")
-                im = _resize_short_side(im, self.resize_short or self.output_size)
-                arr = np.asarray(im, dtype=np.uint8)
-        except Exception as e:
-            warnings.warn(f"failed to load image {path}: {e}")
-            return self[int(self._rng.integers(0, len(self)))]
+        # corrupt-file retry rng keyed by the requested index: deterministic
+        # across runs/workers (one chain, so repeated failures keep drawing)
+        retry = np.random.default_rng((7, index))
+        while True:
+            path, label = self.samples[index]
+            try:
+                with Image.open(path) as im:
+                    im = im.convert("RGB")
+                    im = _resize_short_side(
+                        im, self.resize_short or self.output_size)
+                    arr = np.asarray(im, dtype=np.uint8)
+                break
+            except Exception as e:
+                warnings.warn(f"failed to load image {path}: {e}")
+                index = int(retry.integers(0, len(self)))
         arr = _center_crop(arr, self.output_size, self.output_size)
         return arr, label
 
@@ -122,6 +127,6 @@ def make_image_loader(
     loader = DataLoader(
         ds, sampler, batch_size=batch_size, num_workers=num_workers,
         collate=image_collate, drop_last=drop_last,
-        use_processes=use_processes, seed=seed,
+        use_processes=use_processes,
     )
     return ds, loader, sampler

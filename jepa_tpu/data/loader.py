@@ -7,6 +7,12 @@ DistributedWeightedSampler stack (reference: src/datasets/video_dataset.py:
 batch), decode work fans out over a thread pool (the native decoder
 releases the GIL), and ready batches sit in a bounded prefetch queue.
 
+Determinism: batch ORDER is deterministic (a single producer walks the
+sampler and pool.map preserves submission order), and item CONTENT is
+deterministic because dataset randomness is keyed by (seed, epoch, index)
+rather than drawn from shared mutable rng state — so a run is bit-identical
+across repeats, worker counts, thread scheduling, and rank topologies.
+
 Sampler semantics:
   * ShardedSampler == torch DistributedSampler(shuffle=True, drop_last):
     per-epoch permutation seeded by (seed + epoch), padded to a multiple of
@@ -77,20 +83,15 @@ class WeightedShardedSampler(ShardedSampler):
 _PROC_DS = None
 
 
-def _proc_init(ds, seed, counter):
-    """Process-pool worker initializer: pin the (forked) dataset and reseed
-    any per-dataset rng so workers do not replay identical random streams.
-    Worker w draws from seed + w (a shared counter hands out ordinals) —
-    the reproducible base_seed + worker_id scheme of torch's DataLoader
-    (video_dataset.py:77-85 analogue); PID-based seeds would differ on
-    every run."""
+def _proc_init(ds):
+    """Process-pool worker initializer: pin the (forked) dataset. Dataset
+    randomness is (seed, epoch, index)-keyed (no shared mutable rng), so
+    workers need no per-worker reseeding to stay both decorrelated and
+    run-to-run reproducible — stronger than torch DataLoader's
+    base_seed + worker_id scheme (reference video_dataset.py:77-85), which
+    is only reproducible because torch pins each index to a worker."""
     global _PROC_DS
     _PROC_DS = ds
-    with counter.get_lock():
-        wid = counter.value
-        counter.value += 1
-    if getattr(ds, "_rng", None) is not None:
-        ds._rng = np.random.default_rng(seed + wid)
 
 
 def _proc_get(i):
@@ -121,7 +122,6 @@ class DataLoader:
         collate=None,
         drop_last: bool = True,
         use_processes: bool = False,
-        seed: int = 0,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -131,7 +131,6 @@ class DataLoader:
         self.collate = collate or default_collate
         self.drop_last = drop_last
         self.use_processes = use_processes
-        self.seed = seed
 
     def __len__(self):
         n = len(self.sampler)
@@ -157,11 +156,16 @@ class DataLoader:
                 self.num_workers,
                 mp_context=ctx,
                 initializer=_proc_init,
-                initargs=(self.dataset, self.seed, ctx.Value("i", 0)),
+                initargs=(self.dataset,),
             )
         return ThreadPoolExecutor(self.num_workers)
 
     def __iter__(self):
+        # sync the dataset's item-rng stream to the sampler epoch BEFORE the
+        # pool forks (process workers copy the dataset at fork time); with
+        # item-keyed rng this is the only mutable dataset state.
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(getattr(self.sampler, "epoch", 0))
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         get_item = _proc_get if self.use_processes else self.dataset.__getitem__
@@ -279,7 +283,11 @@ def make_video_loader(
         decode_size=decode_size,
         decode_short_side=decode_short_side,
         decode_canvas=decode_canvas,
-        seed=seed + rank,
+        # base seed, NOT seed+rank: item randomness is (seed, epoch, index)-
+        # keyed, so a given global index yields identical clips on every
+        # rank/topology (2-proc == 1-proc equality); ranks read disjoint
+        # index shards, so streams stay decorrelated without a rank offset.
+        seed=seed,
     )
     if ds.sample_weights is not None:
         sampler = WeightedShardedSampler(

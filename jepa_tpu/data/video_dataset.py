@@ -253,12 +253,22 @@ class VideoDataset:
             self.decode_backend, self.decode_size,
             short_side=self.decode_short_side, canvas=self.decode_canvas,
         )
-        self._rng = np.random.default_rng(self.seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Advance the clip-sampling stream. Randomness in __getitem__ is a
+        pure function of (seed, epoch, index) — there is NO shared mutable
+        rng, so results are identical regardless of worker count, worker
+        scheduling, or which rank loads the item (torch's DataLoader gets
+        run-to-run reproducibility from deterministic worker index slices,
+        reference video_dataset.py:77-85; a dynamically-scheduled pool needs
+        item-keyed derivation instead)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.samples)
 
-    def _load(self, path: str):
+    def _load(self, path: str, rng: np.random.Generator):
         if self.decode_backend not in ("synthetic",):
             if not os.path.exists(path):
                 warnings.warn(f"video path not found {path}")
@@ -289,7 +299,7 @@ class VideoDataset:
             self.num_clips,
             self.random_clip_sampling,
             self.allow_clip_overlap,
-            self._rng,
+            rng,
         )
         all_idx = np.concatenate(clip_indices)
         try:
@@ -310,12 +320,18 @@ class VideoDataset:
 
         Corrupt/missing videos are skipped by resampling a random index
         indefinitely (reference :159-166).
+
+        Deterministic: all randomness (clip-window offsets, corrupt-retry
+        resampling) comes from an rng derived from (seed, epoch, index), so
+        the same item is byte-identical across runs, worker counts, and
+        ranks.
         """
+        rng = np.random.default_rng((self.seed, self._epoch, index))
         while True:
-            buffer, clip_indices, valid_hw = self._load(self.samples[index])
+            buffer, clip_indices, valid_hw = self._load(self.samples[index], rng)
             if buffer is not None:
                 break
-            index = int(self._rng.integers(0, len(self)))
+            index = int(rng.integers(0, len(self)))
         fpc = self.frames_per_clip
         clips = buffer.reshape(self.num_clips, fpc, *buffer.shape[1:])
         return clips, self.labels[index], clip_indices, valid_hw
