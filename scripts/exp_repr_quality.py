@@ -117,6 +117,9 @@ def main():
                     "an information-preserving random encoder lets the "
                     "attentive probe memorize but not generalize, a "
                     "pretrained low-dim representation generalizes")
+    ap.add_argument("--data-seed", type=int, default=0,
+                    help="synthetic dataset draw (video content); pin "
+                    "robustness = the margin must hold across draws")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--skip-pretrain", action="store_true",
                     help="reuse an existing workdir's checkpoint")
@@ -131,7 +134,7 @@ def main():
     if not os.path.exists(os.path.join(data_dir, "train.csv")):
         train_csv, val_csv = write_grating_dataset(
             data_dir, args.n_train, args.n_val,
-            num_frames=args.vid_frames, size=args.size, seed=0,
+            num_frames=args.vid_frames, size=args.size, seed=args.data_seed,
             amp_range=(args.amp_lo, args.amp_hi), noise=args.noise,
             kind=args.kind, photometric=not args.no_photometric,
             n_patches=args.n_patches)
